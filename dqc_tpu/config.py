@@ -1,0 +1,70 @@
+"""Runtime configuration for dqc_tpu.
+
+The reference makes precision a *compile-time* cargo feature (``f64`` →
+``-DF64``; reference Cargo.toml:26-27, build.rs:19-20) so users must install
+either an f32 or an f64 extension. Here dtype is a plain runtime parameter:
+every public entry point takes ``dtype=`` (complex64 / complex128) and the
+default is process-wide configurable.
+
+Note: complex128 on TPU is emulated and slow; it exists for the f64 gradient
+gauntlet (reference src/test_autodiff.py:165, rel. err < 1e-9) which runs on
+CPU in our test suite. complex64 is the TPU production dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+import jax
+
+_DEFAULT_COMPLEX = jnp.complex64
+
+_REAL_OF = {
+    jnp.dtype("complex64"): jnp.dtype("float32"),
+    jnp.dtype("complex128"): jnp.dtype("float64"),
+}
+
+# TPUs default to bfloat16 matmul inputs; a statevector sweep needs full-f32
+# accumulation or amplitudes drift ~1e-4 per gate (measured on v5e). All core
+# contractions use this precision; tune down only for throughput experiments.
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p) -> None:
+    """Set contraction precision for gate/density/grad matmuls
+    (jax.lax.Precision or the strings 'default'/'high'/'highest')."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = p
+
+
+def matmul_precision():
+    return _MATMUL_PRECISION
+
+
+def set_default_complex(dtype) -> None:
+    """Set the process-wide default complex dtype (complex64 or complex128)."""
+    global _DEFAULT_COMPLEX
+    dtype = jnp.dtype(dtype)
+    if dtype not in _REAL_OF:
+        raise ValueError(f"expected complex64 or complex128, got {dtype}")
+    _DEFAULT_COMPLEX = dtype
+
+
+def default_complex():
+    """The process-wide default complex dtype."""
+    return jnp.dtype(_DEFAULT_COMPLEX)
+
+
+def real_of(dtype):
+    """The real dtype matching a complex dtype (c64→f32, c128→f64)."""
+    return _REAL_OF[jnp.dtype(dtype)]
+
+
+def canonicalize_complex(dtype):
+    """Validate + normalize a complex dtype argument (None → default)."""
+    if dtype is None:
+        return default_complex()
+    dtype = jnp.dtype(dtype)
+    if dtype not in _REAL_OF:
+        raise ValueError(f"expected complex64 or complex128, got {dtype}")
+    return dtype
