@@ -1,0 +1,95 @@
+"""Benchmark: forward+gradient sweep throughput on a deep ansatz.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md targets): value_and_grad of a deep hardware-efficient
+ansatz at the largest qubit count that fits HBM (tries 28, backs off on OOM).
+The O(1)-memory adjoint executes ~1 sweep/gate forward and ~3 sweeps/var-gate
+backward (uncompute + gradient contraction + cotangent transport), each sweep
+streaming the full 2^n statevector through HBM.
+
+``vs_baseline`` = fraction of per-sweep HBM speed-of-light (read+write 8-byte
+complex64 per amplitude per sweep) achieved — the reference publishes no
+numbers (BASELINE.md: "published: {}"), so speed-of-light is the bar; the
+derived target is 0.8.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
+QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
+LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "4"))
+REPS = int(os.environ.get("DQC_BENCH_REPS", "3"))
+
+
+def run_bench(n_qubits: int, layers: int):
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz")
+    params = model.init_params(jax.random.PRNGKey(0))
+    step = jax.jit(jax.value_and_grad(model.magnetization))
+
+    v, g = step(params)  # compile + warm up
+    jax.block_until_ready((v, g))
+
+    t0 = time.time()
+    for _ in range(REPS):
+        v, g = step(params)
+    jax.block_until_ready((v, g))
+    dt = (time.time() - t0) / REPS
+
+    if not bool(jnp.isfinite(v)):
+        raise RuntimeError("non-finite loss in benchmark")
+
+    # sweep accounting: forward = all gates once; backward = uncompute +
+    # cotangent transport for all gates + grad contraction per var gate
+    n_gates = model.num_gates
+    n_var = model.num_var_gates
+    sweeps = n_gates + 2 * n_gates + n_var
+    bytes_per_sweep = (1 << n_qubits) * 8 * 2  # read + write complex64
+    achieved_gbps = sweeps * bytes_per_sweep / dt / 1e9
+    return {
+        "qubits": n_qubits,
+        "layers": layers,
+        "gates": n_gates,
+        "sec_per_grad_step": dt,
+        "sweeps_per_sec": sweeps / dt,
+        "achieved_GBps": achieved_gbps,
+        "sol_fraction": achieved_gbps / HBM_GBPS,
+    }
+
+
+def main():
+    result = None
+    err = None
+    for nq in QUBIT_TRIES:
+        try:
+            result = run_bench(nq, LAYERS)
+            break
+        except Exception as e:  # OOM or backend failure: back off
+            err = e
+            print(f"# bench at {nq} qubits failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+    if result is None:
+        raise SystemExit(f"benchmark failed at all sizes: {err}")
+
+    print(json.dumps({
+        "metric": f"fwd+grad statevector sweeps/sec, {result['qubits']}q x "
+                  f"{result['gates']}-gate hardware-efficient ansatz (O(1)-memory adjoint)",
+        "value": round(result["sweeps_per_sec"], 3),
+        "unit": "sweeps/sec",
+        "vs_baseline": round(result["sol_fraction"], 4),
+    }))
+    print(f"# detail: {json.dumps(result)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Hardware-efficient ansatz: parameterized 1q rotations + entangling rings.
+
+The deep-circuit benchmark family from BASELINE.md ("deep hardware-efficient
+ansatz, 28-30 qubits, depth 100+, O(1)-memory adjoint"): per layer, one
+variable dense 1-qubit gate on every qubit followed by a ring of constant
+entanglers (CNOT or CZ); observables are the 1-qubit densities of every
+qubit, with a transverse-magnetization loss.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqc_tpu import config
+from dqc_tpu.circuit.builder import AutoGradCircuit
+
+
+class HardwareEfficientAnsatz:
+    def __init__(self, qubits_number: int, layers_number: int,
+                 entangler: str = "cnot", dtype=None):
+        self.n = int(qubits_number)
+        self.layers = int(layers_number)
+        self.dtype = config.canonicalize_complex(dtype)
+
+        if entangler == "cnot":
+            ent = np.array(
+                [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]],
+                dtype=self.dtype,
+            ).reshape(-1)
+            self._ent_diag = False
+        elif entangler == "cz":
+            ent = np.array([1, 1, 1, -1], dtype=self.dtype)  # diagonal entries
+            self._ent_diag = True
+        else:
+            raise ValueError(f"unknown entangler {entangler!r}")
+
+        c = AutoGradCircuit(self.n, dtype=self.dtype)
+        for _ in range(self.layers):
+            for i in range(self.n):
+                c.add_q1_var_gate(i)
+            for i in range(self.n - 1):
+                if self._ent_diag:
+                    c.add_q2_const_gate_diag(i, i + 1)
+                else:
+                    c.add_q2_const_gate(i, i + 1)
+            if self._ent_diag:
+                c.add_q2_const_gate_diag(0, self.n - 1)
+            else:
+                c.add_q2_const_gate(0, self.n - 1)
+        for i in range(self.n):
+            c.get_q1_dens_op_with_grad(i)
+        self.circuit = c
+        _, self._autodiff_run = c.build()
+        self._const_gates = self.layers * (self.n * [ent])
+        self._z = np.array([[1, 0], [0, -1]], dtype=self.dtype)
+
+    @property
+    def num_var_gates(self) -> int:
+        return self.n * self.layers
+
+    @property
+    def num_gates(self) -> int:
+        """Total gate applications per forward pass."""
+        return 2 * self.n * self.layers
+
+    def params2gates(self, params: jax.Array) -> List[jax.Array]:
+        """(layers, n, 3) Euler angles -> SU(2) gates, traced."""
+        a, b, g = params[..., 0], params[..., 1], params[..., 2]
+        ca, sa = jnp.cos(a / 2), jnp.sin(a / 2)
+        dt = self.dtype
+        eb = jnp.exp(1j * b.astype(dt))
+        eg = jnp.exp(1j * g.astype(dt))
+        u00 = ca.astype(dt)
+        u01 = -sa.astype(dt) * eg
+        u10 = sa.astype(dt) * eb
+        u11 = ca.astype(dt) * eb * eg
+        mats = jnp.stack(
+            [jnp.stack([u00, u01], -1), jnp.stack([u10, u11], -1)], -2
+        )  # (layers, n, 2, 2)
+        return [mats[l, q].reshape(-1) for l in range(self.layers) for q in range(self.n)]
+
+    def init_params(self, key) -> jax.Array:
+        return 0.1 * jax.random.normal(
+            key, (self.layers, self.n, 3), dtype=config.real_of(self.dtype)
+        )
+
+    def magnetization(self, params: jax.Array) -> jax.Array:
+        """Sum of <Z_i> — a simple fully-differentiable loss."""
+        gates = self.params2gates(params)
+        densities = self._autodiff_run(gates, self._const_gates)
+        return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real
+
+    def loss_from_gates(self, var_gates) -> jax.Array:
+        """Same loss taking explicit var gates (for kernel benchmarking)."""
+        densities = self._autodiff_run(list(var_gates), self._const_gates)
+        return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real

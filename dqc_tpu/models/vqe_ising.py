@@ -41,10 +41,13 @@ class VQEIsing:
 
         c = AutoGradCircuit(self.n, dtype=self.dtype)
         # initial state: uniform superposition (all Bloch vectors along +X,
-        # reference example_vqse_ising.py:58-59). Host numpy: complex arrays
-        # must not be created eagerly on TPU devices (utils/boundary.py).
-        init = np.full((1 << self.n,), 1.0, dtype=self.dtype)
-        c.set_state_from_vector(init / np.linalg.norm(init))
+        # reference example_vqse_ising.py:58-59) — prepared as a layer of
+        # constant Hadamards on |0...0> rather than a 2^n host vector, so the
+        # same tape runs sharded at any n without materializing the state.
+        for i in range(self.n):
+            c.add_q1_const_gate(i)
+        h2 = np.asarray([[1, 1], [1, -1]], dtype=self.dtype) / np.sqrt(2)
+        self._const_gates = self.n * [h2.reshape(-1)]
         for _ in range(self.layers):
             for i in range(self.n - 1):
                 c.add_q2_var_gate_diag(i, i + 1)
@@ -92,9 +95,26 @@ class VQEIsing:
     def energy(self, params: jax.Array) -> jax.Array:
         """TFIM energy estimate (real scalar), fully differentiable."""
         gates = self.params2gates(params)
-        densities = self._autodiff_run(gates, [])
+        densities = self._autodiff_run(gates, self._const_gates)
         e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
         return e.real
+
+    def build_distributed_energy(self, mesh, axis=None):
+        """Energy over a sharded statevector: same tape compiled for a
+        device mesh (parallel/dcircuit.py). Returns a jit/grad-able
+        ``energy(params) -> real scalar``."""
+        from dqc_tpu.parallel import AXIS, DistributedCircuit
+
+        dc = DistributedCircuit(self.circuit, mesh, axis=axis or AXIS, dtype=self.dtype)
+        _, run = dc.build()
+
+        def energy(params):
+            gates = self.params2gates(params)
+            densities = run(gates, self._const_gates)
+            e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
+            return e.real
+
+        return energy
 
     def exact_ground_energy(self) -> float:
         """Exact TFIM ground energy at the phase-transition point h=1

@@ -1,0 +1,142 @@
+"""`DistributedCircuit` — run any tape on a sharded statevector.
+
+Takes the same :class:`~dqc_tpu.circuit.ir.Tape` a single-device
+`AutoGradCircuit` builds, compiles it for a 1-D device mesh
+(parallel/layout.py), and exposes the same ``build() ->
+(simple_run, autodiff_run)`` contract. Gates and density matrices are
+replicated (tiny); only the two statevector-sized arrays are sharded; the
+whole computation — including the O(1)-memory adjoint — runs inside one
+``shard_map`` region so XLA schedules local sweeps and ICI collectives
+together.
+
+This is the scale story the reference lacks entirely (SURVEY.md §2.4: no
+multi-device code of any kind): a 34-qubit statevector fits a 16-device v5e
+slice at complex64 (2 x 8 GiB shards per... 2^34 * 8 B = 128 GiB total, 8
+GiB/device on 16 devices).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from dqc_tpu import config
+from dqc_tpu.circuit.builder import AutoGradCircuit
+from dqc_tpu.circuit.ir import Tape
+from dqc_tpu.parallel import dist
+from dqc_tpu.parallel.executor import dist_run, dist_tape_forward
+from dqc_tpu.parallel.layout import plan_distribution
+from dqc_tpu.parallel.mesh import AXIS, mesh_bits
+from dqc_tpu.utils import boundary
+
+
+class DistributedCircuit:
+    """Distributed execution of a circuit tape over a device mesh."""
+
+    def __init__(
+        self,
+        circuit,
+        mesh: Mesh,
+        axis: str = AXIS,
+        dtype=None,
+    ):
+        if isinstance(circuit, AutoGradCircuit):
+            self.tape: Tape = circuit.tape
+            self.dtype = circuit.dtype if dtype is None else config.canonicalize_complex(dtype)
+            self._initial_vector = circuit._initial_state  # host numpy or None
+        elif isinstance(circuit, Tape):
+            self.tape = circuit
+            self.dtype = config.canonicalize_complex(dtype)
+            self._initial_vector = None
+        else:
+            raise TypeError(f"expected AutoGradCircuit or Tape, got {type(circuit)}")
+        self.mesh = mesh
+        self.axis = axis
+        self.k = mesh_bits(mesh, axis)
+        self.program = plan_distribution(self.tape, self.k)
+
+    # -- initial state -------------------------------------------------------
+
+    def _init_pair(self) -> Optional[np.ndarray]:
+        """Host real-pair (2, 2^n) of a custom initial vector, or None."""
+        if self._initial_vector is None:
+            return None
+        return boundary.split_pair(self._initial_vector.astype(self.dtype))
+
+    def set_state_from_vector(self, vec) -> None:
+        vec = np.asarray(vec)
+        if vec.size != (1 << self.tape.n):
+            raise ValueError(
+                f"state must have {1 << self.tape.n} amplitudes, got {vec.size}"
+            )
+        self._initial_vector = vec.reshape(-1).astype(self.dtype)
+
+    # -- build ----------------------------------------------------------------
+
+    def _make_runner(self, only_diff: bool, use_vjp: bool) -> Callable:
+        prog, axis, mesh, dtype = self.program, self.axis, self.mesh, self.dtype
+        n, k = self.tape.n, self.k
+        init_pair = self._init_pair()
+        tape = self.tape
+
+        if init_pair is None:
+            def body(var_gates, const_gates):
+                local = dist.local_standard_state(n, k, axis, dtype)
+                if use_vjp:
+                    return list(dist_tape_forward(prog, axis, local, var_gates, const_gates))
+                dens, _ = dist_run(prog, axis, local, var_gates, const_gates,
+                                   only_diff=only_diff)
+                return list(dens)
+
+            mapped = shard_map(
+                body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                check_vma=False,
+            )
+
+            def run_traced(vg, cg):
+                return mapped(tuple(vg), tuple(cg))
+        else:
+            def body(pair_local, var_gates, const_gates):
+                local = jax.lax.complex(pair_local[0], pair_local[1]).astype(dtype)
+                if use_vjp:
+                    return list(dist_tape_forward(prog, axis, local, var_gates, const_gates))
+                dens, _ = dist_run(prog, axis, local, var_gates, const_gates,
+                                   only_diff=only_diff)
+                return list(dens)
+
+            mapped = shard_map(
+                body, mesh=mesh, in_specs=(P(None, axis), P(), P()), out_specs=P(),
+                check_vma=False,
+            )
+
+            def run_traced(vg, cg):
+                return mapped(jnp.asarray(init_pair), tuple(vg), tuple(cg))
+
+        @jax.jit
+        def run_eager_core(var_pairs, const_pairs):
+            vg = tuple(boundary.merge_pair(p) for p in var_pairs)
+            cg = tuple(boundary.merge_pair(p) for p in const_pairs)
+            return [boundary.pack_complex(d) for d in run_traced(vg, cg)]
+
+        def run(var_gates, const_gates):
+            tape.validate(var_gates, const_gates)
+            if boundary.tree_has_tracer(var_gates, const_gates):
+                return run_traced(tuple(var_gates), tuple(const_gates))
+            vp = tuple(boundary.split_pair(g) for g in var_gates)
+            cp = tuple(boundary.split_pair(g) for g in const_gates)
+            return [boundary.unpack_to_numpy(p) for p in run_eager_core(vp, cp)]
+
+        return run
+
+    def build(self) -> Tuple[Callable, Callable]:
+        """``(simple_run, autodiff_run)`` — the single-device contract
+        (reference circuit.py:160-202), executed over the mesh."""
+        simple_run = self._make_runner(only_diff=False, use_vjp=False)
+        autodiff_run = self._make_runner(only_diff=True, use_vjp=True)
+        return simple_run, autodiff_run

@@ -1,0 +1,152 @@
+"""Static qubit-layout planning for the distributed statevector.
+
+Compiles a logical :class:`~dqc_tpu.circuit.ir.Tape` into a *distributed
+program*: the same gate/density stream rewritten to physical local slots,
+with :class:`DSwap` qubit-permutation all-to-alls inserted wherever an
+instruction touches a qubit currently living on a device bit. All planning is
+pure Python at trace time — the compiled program is static, so XLA sees a
+fixed sequence of local sweeps and collectives.
+
+Swap placement uses Belady's rule: when the k-bit device block must be
+brought local, it lands in the local slots whose current logical qubits are
+needed furthest in the future — minimizing subsequent swaps. (A layered
+ansatz such as the reference's VQE example, example_vqse_ising.py:68-75,
+plans to roughly one all-to-all per layer, i.e. O(layers) collectives rather
+than O(gates).)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from dqc_tpu.circuit.ir import InstrKind, Instruction, Tape
+
+
+@dataclass(frozen=True)
+class DApply:
+    kind: InstrKind                 # GATE or DIAG
+    positions: Tuple[int, ...]      # physical local slots, msb-first
+    var: bool
+    unitary: bool
+    queue_idx: int                  # index into the var or const gate list
+
+
+@dataclass(frozen=True)
+class DSwap:
+    local_positions: Tuple[int, ...]  # k local slots, msb-first
+
+
+@dataclass(frozen=True)
+class DDensity:
+    positions: Tuple[int, ...]      # physical local slots, msb-first
+    diff: bool
+    dens_idx: int                   # index among the tape's density requests
+
+
+@dataclass(frozen=True)
+class DistProgram:
+    """A hashable compiled distributed circuit (usable as a jit static)."""
+    n: int                          # logical qubits
+    k: int                          # device bits (mesh axis = 2^k devices)
+    instructions: Tuple[object, ...]
+    num_var_gates: int
+    num_const_gates: int
+    num_densities: int
+    diff_flags: Tuple[bool, ...]    # per density request, in tape order
+    final_phys: Tuple[int, ...]     # layout after the program (phys slot per logical qubit)
+
+    @property
+    def m(self) -> int:
+        return self.n - self.k
+
+    def last_diff_density_index(self) -> int:
+        for i in range(len(self.instructions) - 1, -1, -1):
+            di = self.instructions[i]
+            if isinstance(di, DDensity) and di.diff:
+                return i
+        return -1
+
+
+def _next_use(tape: Tape, start: int, logical: int) -> int:
+    """Instruction index of the next use of a logical qubit (inf if none)."""
+    for i in range(start, len(tape.instructions)):
+        if logical in tape.instructions[i].positions:
+            return i
+    return 1 << 30
+
+
+def plan_distribution(tape: Tape, k: int) -> DistProgram:
+    """Compile ``tape`` for a ``2^k``-device mesh."""
+    n = tape.n
+    m = n - k
+    if k == 0:
+        pass  # degenerate single-device plan still valid
+    if m < k:
+        raise ValueError(
+            f"{1 << k} devices need at least {2 * k} qubits (n={n}, k={k}): "
+            "the device block must fit among local qubits to swap in"
+        )
+    # phys[q] = physical slot of logical qubit q; slots >= m are device bits
+    phys: List[int] = list(range(n))
+    prog: List[object] = []
+    var_idx = const_idx = dens_idx = 0
+    diff_flags: List[bool] = []
+
+    for idx, inst in enumerate(tape.instructions):
+        needs = inst.positions
+        if any(phys[q] >= m for q in needs) and k > 0:
+            protected = {phys[q] for q in needs if phys[q] < m}
+            if m - len(protected) < k:
+                raise ValueError(
+                    f"instruction {inst} touches too many qubits to localize "
+                    f"a {1 << k}-device block"
+                )
+            # Belady: evict local slots whose logical qubits are needed last
+            logical_at = {p: q for q, p in enumerate(phys) if p < m}
+            candidates = [p for p in range(m) if p not in protected]
+            candidates.sort(key=lambda p: _next_use(tape, idx, logical_at[p]), reverse=True)
+            slots = sorted(candidates[:k], reverse=True)  # msb-first, deterministic
+            prog.append(DSwap(tuple(slots)))
+            # slot msb-first: local_positions[k-1-j] <-> device bit j (slot m+j)
+            for j in range(k):
+                l = slots[k - 1 - j]
+                g = m + j
+                ql, qg = logical_at[l], None
+                for q, p in enumerate(phys):
+                    if p == g:
+                        qg = q
+                        break
+                phys[ql], phys[qg] = g, l
+        positions = tuple(phys[q] for q in needs)
+        if inst.kind is InstrKind.DENSITY:
+            prog.append(DDensity(positions, inst.diff, dens_idx))
+            diff_flags.append(inst.diff)
+            dens_idx += 1
+        elif inst.kind is InstrKind.GATE:
+            prog.append(DApply(InstrKind.GATE, positions, inst.var, inst.unitary,
+                               var_idx if inst.var else const_idx))
+            if inst.var:
+                var_idx += 1
+            else:
+                const_idx += 1
+        elif inst.kind is InstrKind.DIAG:
+            prog.append(DApply(InstrKind.DIAG, positions, inst.var, inst.unitary,
+                               var_idx if inst.var else const_idx))
+            if inst.var:
+                var_idx += 1
+            else:
+                const_idx += 1
+        else:
+            raise AssertionError(inst)
+
+    return DistProgram(
+        n=n,
+        k=k,
+        instructions=tuple(prog),
+        num_var_gates=var_idx,
+        num_const_gates=const_idx,
+        num_densities=dens_idx,
+        diff_flags=tuple(diff_flags),
+        final_phys=tuple(phys),
+    )

@@ -1,0 +1,157 @@
+"""Multi-device sharding parity: the distributed executor must match the
+single-device path bit-for-bit in values and gradients, on an 8-device
+virtual CPU mesh (SURVEY.md §4 carry-over: "multi-device sharding parity vs
+single-device" — the testable stand-in for a pod slice)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dqc_tpu import AutoGradCircuit
+from dqc_tpu.parallel import DistributedCircuit, make_mesh
+from dqc_tpu.parallel.layout import plan_distribution, DSwap
+
+import oracles
+
+C128 = jnp.complex128
+
+
+def build_mixed_circuit(n, seed=0):
+    """A tape touching low, high (device-bit), and mixed qubit pairs."""
+    rng = np.random.default_rng(seed)
+    c = AutoGradCircuit(n, dtype=C128)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    for i in range(n - 1):
+        c.add_q2_var_gate(i, i + 1)        # chain crosses the shard boundary
+    c.add_q2_var_gate(n - 1, 0)            # both extremes
+    for i in range(0, n - 1, 2):
+        c.add_q2_var_gate_diag(i + 1, i)
+    for i in range(n):
+        c.add_q1_const_gate(i)
+    for i in range(n):
+        c.get_q1_dens_op_with_grad(i)
+    c.get_q2_dens_op_with_grad(n - 1, n - 2)   # density on global qubits
+    c.get_q2_dens_op(0, n - 1)
+    var_gates = (
+        [oracles.random_unitary(rng, 1).reshape(-1) for _ in range(n)]
+        + [oracles.random_unitary(rng, 2).reshape(-1) for _ in range(n - 1)]
+        + [oracles.random_unitary(rng, 2).reshape(-1)]
+        + [oracles.random_diag_unitary(rng, 2) for _ in range(len(range(0, n - 1, 2)))]
+    )
+    const_gates = [oracles.random_unitary(rng, 1).reshape(-1) for _ in range(n)]
+    var_gates = [jnp.asarray(g, C128) for g in var_gates]
+    const_gates = [jnp.asarray(g, C128) for g in const_gates]
+    return c, var_gates, const_gates
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_planner_inserts_swaps():
+    c, _, _ = build_mixed_circuit(8)
+    prog = plan_distribution(c.tape, 3)
+    swaps = [d for d in prog.instructions if isinstance(d, DSwap)]
+    assert len(swaps) >= 1
+    # every gate/density position in the program is local
+    from dqc_tpu.parallel.layout import DApply, DDensity
+    for di in prog.instructions:
+        if isinstance(di, (DApply, DDensity)):
+            assert all(p < prog.m for p in di.positions)
+
+
+def test_forward_parity(mesh8):
+    n = 8
+    c, var_gates, const_gates = build_mixed_circuit(n)
+    s_run, a_run = c.build()
+    dc = DistributedCircuit(c, mesh8)
+    ds_run, da_run = dc.build()
+
+    want_all = s_run(var_gates, const_gates)
+    got_all = ds_run(var_gates, const_gates)
+    assert len(want_all) == len(got_all)
+    for w, g in zip(want_all, got_all):
+        np.testing.assert_allclose(g, w, rtol=1e-11, atol=1e-11)
+
+    want_diff = a_run(var_gates, const_gates)
+    got_diff = da_run(var_gates, const_gates)
+    assert len(want_diff) == len(got_diff)
+    for w, g in zip(want_diff, got_diff):
+        np.testing.assert_allclose(g, w, rtol=1e-11, atol=1e-11)
+
+
+def test_gradient_parity(mesh8):
+    n = 8
+    c, var_gates, const_gates = build_mixed_circuit(n)
+    _, a_run = c.build()
+    dc = DistributedCircuit(c, mesh8)
+    _, da_run = dc.build()
+
+    def loss_of(run):
+        def loss(vg):
+            dens = run(vg, tuple(const_gates))
+            return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+        return loss
+
+    g_single = jax.grad(loss_of(a_run))(tuple(var_gates))
+    g_dist = jax.grad(loss_of(da_run))(tuple(var_gates))
+    assert len(g_single) == len(g_dist)
+    for a, b in zip(g_single, g_dist):
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
+
+def test_gradient_parity_jitted(mesh8):
+    n = 8
+    c, var_gates, const_gates = build_mixed_circuit(n, seed=4)
+    _, a_run = c.build()
+    dc = DistributedCircuit(c, mesh8)
+    _, da_run = dc.build()
+
+    def loss(vg):
+        dens = da_run(vg, tuple(const_gates))
+        return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss))(tuple(var_gates))
+
+    def loss_s(vg):
+        dens = a_run(vg, tuple(const_gates))
+        return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+
+    v2, g2 = jax.value_and_grad(loss_s)(tuple(var_gates))
+    np.testing.assert_allclose(v1, v2, rtol=1e-11)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
+
+def test_custom_initial_state_parity(mesh8):
+    n = 8
+    rng = np.random.default_rng(2)
+    psi0 = oracles.random_state(rng, n)
+    psi0 = psi0 / np.linalg.norm(psi0)
+
+    c = AutoGradCircuit(n, dtype=C128)
+    c.set_state_from_vector(psi0)
+    c.add_q1_const_gate(n - 1)
+    c.add_q2_const_gate(n - 1, 0)
+    c.get_q1_dens_op_with_grad(n - 1)
+    c.get_q2_dens_op_with_grad(3, 6)
+    const_gates = [
+        jnp.asarray(oracles.random_unitary(rng, 1).reshape(-1), C128),
+        jnp.asarray(oracles.random_unitary(rng, 2).reshape(-1), C128),
+    ]
+    _, a_run = c.build()
+    dc = DistributedCircuit(c, mesh8)
+    _, da_run = dc.build()
+
+    for w, g in zip(a_run([], const_gates), da_run([], const_gates)):
+        np.testing.assert_allclose(g, w, rtol=1e-11, atol=1e-11)
+
+
+def test_mesh_validation():
+    c, _, _ = build_mixed_circuit(4)
+    with pytest.raises(ValueError):
+        plan_distribution(c.tape, 3)  # 8 devices on 4 qubits: block can't fit
