@@ -41,6 +41,21 @@ def matmul_precision():
     return _MATMUL_PRECISION
 
 
+# Gate fusion (circuit/fusion.py): compose consecutive same-group gates into
+# one full-group operator so each HBM sweep applies up to 7 qubits' worth of
+# gates. Semantically identical to per-gate execution; on by default.
+_FUSION = True
+
+
+def set_fusion(enabled: bool) -> None:
+    global _FUSION
+    _FUSION = bool(enabled)
+
+
+def default_fusion() -> bool:
+    return _FUSION
+
+
 def set_default_complex(dtype) -> None:
     """Set the process-wide default complex dtype (complex64 or complex128)."""
     global _DEFAULT_COMPLEX

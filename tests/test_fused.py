@@ -1,0 +1,110 @@
+"""Fused-execution parity: the gate-fusion compiler + blockwise adjoint must
+match the per-gate path in values AND gradients exactly (same tape, same
+gates), across every instruction kind including cross-group gates."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dqc_tpu.circuit.autograd import run_tape, tape_forward
+from dqc_tpu.circuit.fusion import fuse_tape, FBlock, FCross
+from dqc_tpu.circuit.fused_autograd import fused_run, fused_tape_forward
+
+from test_autodiff import build_gauntlet, gauntlet_gates
+
+import oracles
+
+C128 = jnp.complex128
+
+
+def _setup(n=9, layers=1, seed=13):
+    rng = np.random.default_rng(seed)
+    c = build_gauntlet(n, layers)
+    const_gates = tuple(gauntlet_gates(rng, n, layers, var=False))
+    var_gates = tuple(gauntlet_gates(rng, n, layers, var=True))
+    init = jnp.asarray(c.initial_state())
+    return c.tape, init, var_gates, const_gates
+
+
+def test_fusion_compiles_and_shrinks():
+    tape, *_ = _setup()
+    ftape = fuse_tape(tape)
+    n_src_gates = len(tape.gates())
+    n_fused = sum(1 for fi in ftape.instructions if isinstance(fi, (FBlock, FCross)))
+    assert n_fused < n_src_gates  # it actually fused something
+    assert ftape.num_var_gates == tape.num_var_gates
+    assert ftape.num_const_gates == tape.num_const_gates
+
+
+def test_forward_parity():
+    tape, init, var_gates, const_gates = _setup()
+    ftape = fuse_tape(tape)
+    want, ws = run_tape(tape, init, var_gates, const_gates, only_diff=False)
+    got, gs = fused_run(ftape, init, var_gates, const_gates, only_diff=False)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(gs, ws, rtol=1e-9, atol=1e-9)
+
+
+def test_gradient_parity():
+    tape, init, var_gates, const_gates = _setup()
+    ftape = fuse_tape(tape)
+
+    def loss_unfused(state, vg):
+        dens = tape_forward(tape, state, vg, const_gates)
+        return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+
+    def loss_fused(state, vg):
+        dens = fused_tape_forward(ftape, state, vg, const_gates)
+        return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+
+    (gs_u, gv_u) = jax.grad(loss_unfused, argnums=(0, 1))(init, var_gates)
+    (gs_f, gv_f) = jax.grad(loss_fused, argnums=(0, 1))(init, var_gates)
+
+    np.testing.assert_allclose(gs_f, gs_u, rtol=1e-8, atol=1e-9)
+    assert len(gv_u) == len(gv_f)
+    for i, (a, b) in enumerate(zip(gv_u, gv_f)):
+        np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-9, err_msg=f"var gate {i}")
+
+
+def test_trailing_zero_grads_fused():
+    from dqc_tpu import AutoGradCircuit
+    rng = np.random.default_rng(3)
+    c = AutoGradCircuit(8, dtype=C128)
+    c.add_q1_var_gate(0)
+    c.get_q1_dens_op_with_grad(0)
+    c.add_q1_var_gate(1)
+    c.add_q2_var_gate(7, 2)  # cross-group trailing
+    ftape = fuse_tape(c.tape)
+    init = jnp.asarray(c.initial_state())
+    vg = (
+        jnp.asarray(oracles.random_unitary(rng, 1).reshape(-1), C128),
+        jnp.asarray(oracles.random_unitary(rng, 1).reshape(-1), C128),
+        jnp.asarray(oracles.random_unitary(rng, 2).reshape(-1), C128),
+    )
+
+    def loss(vg):
+        dens = fused_tape_forward(ftape, init, vg, ())
+        return jnp.einsum("ij,ji->", dens[0], dens[0]).real
+
+    g = jax.grad(loss)(vg)
+    assert np.any(np.abs(np.asarray(g[0])) > 1e-3)
+    np.testing.assert_array_equal(np.asarray(g[1]), 0)
+    np.testing.assert_array_equal(np.asarray(g[2]), 0)
+
+
+def test_jit_fused():
+    tape, init, var_gates, const_gates = _setup(n=8)
+    ftape = fuse_tape(tape)
+
+    def loss(vg):
+        dens = fused_tape_forward(ftape, init, vg, const_gates)
+        return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss))(var_gates)
+    v2, g2 = jax.value_and_grad(loss)(var_gates)
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
