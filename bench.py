@@ -27,13 +27,13 @@ import jax.numpy as jnp
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
 QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
 LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "4"))
-REPS = int(os.environ.get("DQC_BENCH_REPS", "3"))
+REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
 
 
 def run_bench(n_qubits: int, layers: int):
     from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
-    model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz")
+    model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz", scan=True)
     params = model.init_params(jax.random.PRNGKey(0))
     step = jax.jit(jax.value_and_grad(model.magnetization))
 
@@ -55,15 +55,15 @@ def run_bench(n_qubits: int, layers: int):
     n_var = model.num_var_gates
     sweeps = n_gates + 2 * n_gates + n_var
     bytes_per_sweep = (1 << n_qubits) * 8 * 2  # read + write complex64
-    achieved_gbps = sweeps * bytes_per_sweep / dt / 1e9
+    equiv_gbps = sweeps * bytes_per_sweep / dt / 1e9  # per-gate-sweep equivalent
     return {
         "qubits": n_qubits,
         "layers": layers,
         "gates": n_gates,
         "sec_per_grad_step": dt,
-        "sweeps_per_sec": sweeps / dt,
-        "achieved_GBps": achieved_gbps,
-        "sol_fraction": achieved_gbps / HBM_GBPS,
+        "gates_per_sec": n_gates / dt,
+        "equiv_GBps": equiv_gbps,
+        "sol_fraction": equiv_gbps / HBM_GBPS,
     }
 
 
@@ -82,10 +82,12 @@ def main():
         raise SystemExit(f"benchmark failed at all sizes: {err}")
 
     print(json.dumps({
-        "metric": f"fwd+grad statevector sweeps/sec, {result['qubits']}q x "
-                  f"{result['gates']}-gate hardware-efficient ansatz (O(1)-memory adjoint)",
-        "value": round(result["sweeps_per_sec"], 3),
-        "unit": "sweeps/sec",
+        "metric": f"gate applications/sec, fwd+grad of {result['qubits']}q x "
+                  f"{result['gates']}-gate hardware-efficient ansatz (O(1)-memory adjoint, "
+                  f"gate fusion + layer scan); vs_baseline = fraction of per-gate HBM "
+                  f"speed-of-light (>1 beats the reference's per-gate-sweep architecture)",
+        "value": round(result["gates_per_sec"], 3),
+        "unit": "gates/sec",
         "vs_baseline": round(result["sol_fraction"], 4),
     }))
     print(f"# detail: {json.dumps(result)}", file=sys.stderr)

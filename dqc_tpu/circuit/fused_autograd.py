@@ -201,6 +201,103 @@ def _fwd(ftape: FusedTape, initial_state, var_gates, const_gates):
     return densities, (state, initial_state, var_gates, const_gates)
 
 
+def _backward_gate_step(fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts):
+    """Roll (fwd, bwd) back through one gate instruction (FCross/FBlock),
+    recording var-gate cotangents in ``var_cts``. ``bwd`` may be None
+    (exact zero, before any density seed)."""
+    if isinstance(fi, FCross):
+        gate = _astype_host(
+            _ref_gate(
+                GateRef(fi.var, fi.queue_idx, (), fi.diag, fi.unitary),
+                var_gates, const_gates,
+            ),
+            fwd.dtype,
+        )
+        if fi.diag:
+            d = gate.reshape(-1)
+            fwd = gr.apply_diag(fwd, _inv_diag(d, fi.unitary), fi.positions, n)
+            if fi.var and bwd is not None:
+                var_cts[fi.queue_idx] = gr.diag_pair_grad(fwd, bwd, fi.positions, n)
+            if bwd is not None:
+                bwd = gr.apply_diag(bwd, d, fi.positions, n)
+        else:
+            m = gate.reshape(4, 4)
+            fwd = gr.apply_dense(fwd, _inv_dense(m, fi.unitary), fi.positions, n)
+            if fi.var and bwd is not None:
+                var_cts[fi.queue_idx] = gr.pair_grad(fwd, bwd, fi.positions, n)
+            if bwd is not None:
+                bwd = gr.apply_dense(bwd, m.T, fi.positions, n)
+        return fwd, bwd
+
+    # FBlock
+    g = sizes[fi.group]
+    inv_ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype, inverse=True)
+
+    if fi.all_diag:
+        fwd = gr.apply_group_diag(fwd, _compose(inv_ops, diag=True), fi.group)
+        tables = None
+        if fi.has_var and bwd is not None:
+            tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
+            W = gr.group_diag_gram(fwd, bwd, fi.group)
+            m = len(tables)
+            prefix = [None] * (m + 1)
+            prefix[0] = _host_ones(g, fwd.dtype)
+            for i in range(m):
+                prefix[i + 1] = prefix[i] * tables[i]
+            suffix = [None] * (m + 1)
+            suffix[m] = _host_ones(g, fwd.dtype)
+            for i in range(m - 1, -1, -1):
+                suffix[i] = suffix[i + 1] * tables[i]
+            for i, ref in enumerate(fi.gates):
+                if not ref.var:
+                    continue
+                full_ct = W * prefix[i] * suffix[i + 1]
+                gate = _astype_host(_ref_gate(ref, var_gates, const_gates), fwd.dtype)
+                _, vjp = jax.vjp(
+                    lambda dd, r=ref: gr._expand_diag_impl(jnp, dd, r.rel_positions, g),
+                    jnp.asarray(gate).reshape(-1),
+                )
+                var_cts[ref.queue_idx] = vjp(full_ct)[0]
+        if bwd is not None:
+            if tables is None:
+                tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
+            bwd = gr.apply_group_diag(bwd, _compose(tables, diag=True), fi.group)
+        return fwd, bwd
+
+    # dense (or mixed) block
+    fwd = gr.apply_group_matrix(fwd, _compose(inv_ops, diag=False, reverse=True), fi.group)
+    ops = None
+    if fi.has_var and bwd is not None:
+        ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
+        T0 = gr.group_pair_gram(fwd, bwd, fi.group)
+        m = len(ops)
+        prefix = [None] * (m + 1)
+        prefix[0] = _host_eye(g, fwd.dtype)
+        for i in range(m):
+            prefix[i + 1] = ops[i] @ prefix[i]
+        # suffix[i] = E_{m-1} ... E_{i+1}  (operators applied after gate i)
+        suffix = [None] * m
+        suffix[m - 1] = _host_eye(g, fwd.dtype)
+        for i in range(m - 2, -1, -1):
+            suffix[i] = suffix[i + 1] @ ops[i + 1]
+        for i, ref in enumerate(fi.gates):
+            if not ref.var:
+                continue
+            full_ct = suffix[i].T @ T0 @ prefix[i].T
+            gate = _astype_host(_ref_gate(ref, var_gates, const_gates), fwd.dtype)
+            _, vjp = jax.vjp(
+                lambda x, r=ref: _ref_op(r, x.astype(fwd.dtype), g),
+                jnp.asarray(gate),
+            )
+            var_cts[ref.queue_idx] = vjp(full_ct)[0]
+    if bwd is not None:
+        if ops is None:
+            ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
+        bwd = gr.apply_group_matrix(bwd, _compose(ops, diag=False).T, fi.group)
+
+    return fwd, bwd
+
+
 def _bwd(ftape: FusedTape, residuals, density_cts):
     state, initial_state, var_gates, const_gates = residuals
     n = ftape.n
@@ -231,95 +328,9 @@ def _bwd(ftape: FusedTape, residuals, density_cts):
             bwd = seed if bwd is None else bwd + seed
             continue
 
-        if isinstance(fi, FCross):
-            gate = _astype_host(
-                _ref_gate(
-                    GateRef(fi.var, fi.queue_idx, (), fi.diag, fi.unitary),
-                    var_gates, const_gates,
-                ),
-                fwd.dtype,
-            )
-            if fi.diag:
-                d = gate.reshape(-1)
-                fwd = gr.apply_diag(fwd, _inv_diag(d, fi.unitary), fi.positions, n)
-                if fi.var and bwd is not None:
-                    var_cts[fi.queue_idx] = gr.diag_pair_grad(fwd, bwd, fi.positions, n)
-                if bwd is not None:
-                    bwd = gr.apply_diag(bwd, d, fi.positions, n)
-            else:
-                m = gate.reshape(4, 4)
-                fwd = gr.apply_dense(fwd, _inv_dense(m, fi.unitary), fi.positions, n)
-                if fi.var and bwd is not None:
-                    var_cts[fi.queue_idx] = gr.pair_grad(fwd, bwd, fi.positions, n)
-                if bwd is not None:
-                    bwd = gr.apply_dense(bwd, m.T, fi.positions, n)
-            continue
-
-        # FBlock
-        g = sizes[fi.group]
-        inv_ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype, inverse=True)
-        if fi.all_diag:
-            inv_total = _compose(inv_ops, diag=True)
-            fwd = gr.apply_group_diag(fwd, inv_total, fi.group)
-            tables = None
-            if fi.has_var and bwd is not None:
-                tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
-                W = gr.group_diag_gram(fwd, bwd, fi.group)
-                m = len(tables)
-                prefix = [None] * (m + 1)
-                suffix = [None] * (m + 1)
-                prefix[0] = _host_ones(g, fwd.dtype)
-                for i in range(m):
-                    prefix[i + 1] = prefix[i] * tables[i]
-                suffix[m] = _host_ones(g, fwd.dtype)
-                for i in range(m - 1, -1, -1):
-                    suffix[i] = suffix[i + 1] * tables[i]
-                for i, ref in enumerate(fi.gates):
-                    if not ref.var:
-                        continue
-                    full_ct = W * prefix[i] * suffix[i + 1]
-                    gate = _astype_host(_ref_gate(ref, var_gates, const_gates), fwd.dtype)
-                    _, vjp = jax.vjp(
-                        lambda dd: gr._expand_diag_impl(jnp, dd, ref.rel_positions, g),
-                        jnp.asarray(gate).reshape(-1),
-                    )
-                    var_cts[ref.queue_idx] = vjp(full_ct)[0]
-            if bwd is not None:
-                if tables is None:
-                    tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
-                bwd = gr.apply_group_diag(bwd, _compose(tables, diag=True), fi.group)
-            continue
-
-        # dense (or mixed) block
-        fwd = gr.apply_group_matrix(fwd, _compose(inv_ops, diag=False, reverse=True), fi.group)
-        ops = None
-        if fi.has_var and bwd is not None:
-            ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
-            T0 = gr.group_pair_gram(fwd, bwd, fi.group)
-            m = len(ops)
-            prefix = [None] * (m + 1)
-            prefix[0] = _host_eye(g, fwd.dtype)
-            for i in range(m):
-                prefix[i + 1] = ops[i] @ prefix[i]
-            # suffix[i] = E_{m-1} ... E_{i+1}  (operators after gate i)
-            suffix = [None] * m
-            suffix[m - 1] = _host_eye(g, fwd.dtype)
-            for i in range(m - 2, -1, -1):
-                suffix[i] = suffix[i + 1] @ ops[i + 1]
-            for i, ref in enumerate(fi.gates):
-                if not ref.var:
-                    continue
-                full_ct = suffix[i].T @ T0 @ prefix[i].T
-                gate = _ref_gate(ref, var_gates, const_gates).astype(fwd.dtype)
-                _, vjp = jax.vjp(
-                    lambda x, r=ref: _ref_op(r, x.astype(fwd.dtype), g), gate
-                )
-                var_cts[ref.queue_idx] = vjp(full_ct)[0]
-        if bwd is not None:
-            if ops is None:
-                ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
-            total = _compose(ops, diag=False)
-            bwd = gr.apply_group_matrix(bwd, total.T, fi.group)
+        fwd, bwd = _backward_gate_step(
+            fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts
+        )
 
     init_ref = jnp.asarray(initial_state)
     if bwd is None:

@@ -21,10 +21,11 @@ from dqc_tpu.circuit.builder import AutoGradCircuit
 
 class HardwareEfficientAnsatz:
     def __init__(self, qubits_number: int, layers_number: int,
-                 entangler: str = "cnot", dtype=None):
+                 entangler: str = "cnot", dtype=None, scan=None):
         self.n = int(qubits_number)
         self.layers = int(layers_number)
         self.dtype = config.canonicalize_complex(dtype)
+        self.scan = (self.layers >= 3) if scan is None else bool(scan)
 
         if entangler == "cnot":
             ent = np.array(
@@ -58,6 +59,29 @@ class HardwareEfficientAnsatz:
         self._const_gates = self.layers * (self.n * [ent])
         self._z = np.array([[1, 0], [0, -1]], dtype=self.dtype)
 
+        if self.scan:
+            from dqc_tpu.circuit.fusion import fuse_tape
+            from dqc_tpu.circuit.scan import fuse_layer
+
+            layer = AutoGradCircuit(self.n, dtype=self.dtype)
+            for i in range(self.n):
+                layer.add_q1_var_gate(i)
+            for i in range(self.n - 1):
+                if self._ent_diag:
+                    layer.add_q2_const_gate_diag(i, i + 1)
+                else:
+                    layer.add_q2_const_gate(i, i + 1)
+            if self._ent_diag:
+                layer.add_q2_const_gate_diag(0, self.n - 1)
+            else:
+                layer.add_q2_const_gate(0, self.n - 1)
+            epi = AutoGradCircuit(self.n, dtype=self.dtype)
+            for i in range(self.n):
+                epi.get_q1_dens_op_with_grad(i)
+            self._layer_ftape = fuse_layer(layer.tape)
+            self._epi_ftape = fuse_tape(epi.tape)
+            self._layer_consts = tuple(self.n * [ent])
+
     @property
     def num_var_gates(self) -> int:
         return self.n * self.layers
@@ -88,10 +112,32 @@ class HardwareEfficientAnsatz:
             key, (self.layers, self.n, 3), dtype=config.real_of(self.dtype)
         )
 
+    def _stacked_gates(self, params: jax.Array):
+        """(layers, n, 3) params -> n per-qubit stacked slots of (L, 4)."""
+        a, b, g = params[..., 0], params[..., 1], params[..., 2]
+        dt = self.dtype
+        ca, sa = jnp.cos(a / 2).astype(dt), jnp.sin(a / 2).astype(dt)
+        eb = jnp.exp(1j * b.astype(dt))
+        eg = jnp.exp(1j * g.astype(dt))
+        mats = jnp.stack([ca, -sa * eg, sa * eb, ca * eb * eg], axis=-1)  # (L, n, 4)
+        return tuple(mats[:, q, :] for q in range(self.n))
+
     def magnetization(self, params: jax.Array) -> jax.Array:
         """Sum of <Z_i> — a simple fully-differentiable loss."""
-        gates = self.params2gates(params)
-        densities = self._autodiff_run(gates, self._const_gates)
+        if self.scan:
+            from dqc_tpu.circuit.fused_autograd import fused_tape_forward
+            from dqc_tpu.circuit.scan import scanned_layers
+            from dqc_tpu.ops.statevector import standard_state
+
+            state = standard_state(self.n, self.dtype)
+            state = scanned_layers(
+                self._layer_ftape, state, self._stacked_gates(params),
+                self._layer_consts,
+            )
+            densities = fused_tape_forward(self._epi_ftape, state, (), ())
+        else:
+            gates = self.params2gates(params)
+            densities = self._autodiff_run(gates, self._const_gates)
         return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real
 
     def loss_from_gates(self, var_gates) -> jax.Array:

@@ -8,12 +8,15 @@ matrices as observables (example_vqse_ising.py:77-79) and the TFIM energy
 ``sum tr(rho h)`` as the loss (example_vqse_ising.py:31-39, 87-93).
 
 Everything — params -> gates -> circuit -> densities -> energy — is one pure
-jittable, differentiable function.
+jittable, differentiable function. Deep circuits (``scan=True``, the default
+for >= 3 layers) run the repeated layer as ONE ``lax.scan`` body with a
+reverse-scanned O(1)-memory adjoint (circuit/scan.py), so compile time and
+program size are independent of depth.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,43 +36,67 @@ class VQEIsing:
         layers_number: int,
         magnetic_field: float = 1.0,
         dtype=None,
+        scan: Optional[bool] = None,
     ):
         self.n = int(qubits_number)
         self.layers = int(layers_number)
         self.field = float(magnetic_field)
         self.dtype = config.canonicalize_complex(dtype)
+        self.scan = (self.layers >= 3) if scan is None else bool(scan)
 
+        h2 = np.asarray([[1, 1], [1, -1]], dtype=self.dtype) / np.sqrt(2)
+        self._hadamard = h2.reshape(-1)
+
+        # full unrolled tape (reference-compatible; used by the distributed
+        # path and for simple_run-style inspection)
         c = AutoGradCircuit(self.n, dtype=self.dtype)
         # initial state: uniform superposition (all Bloch vectors along +X,
-        # reference example_vqse_ising.py:58-59) — prepared as a layer of
-        # constant Hadamards on |0...0> rather than a 2^n host vector, so the
-        # same tape runs sharded at any n without materializing the state.
+        # reference example_vqse_ising.py:58-59) prepared as a layer of
+        # constant Hadamards on |0...0> — no 2^n host vector at any n.
         for i in range(self.n):
             c.add_q1_const_gate(i)
-        h2 = np.asarray([[1, 1], [1, -1]], dtype=self.dtype) / np.sqrt(2)
-        self._const_gates = self.n * [h2.reshape(-1)]
+        self._const_gates = self.n * [self._hadamard]
         for _ in range(self.layers):
-            for i in range(self.n - 1):
-                c.add_q2_var_gate_diag(i, i + 1)
-            c.add_q2_var_gate_diag(0, self.n - 1)  # ring closure
-            for i in range(self.n):
-                c.add_q1_var_gate(i)
+            self._add_layer_gates(c)
         for i in range(self.n - 1):
             c.get_q2_dens_op_with_grad(i, i + 1)
         c.get_q2_dens_op_with_grad(0, self.n - 1)
         self.circuit = c
         _, self._autodiff_run = c.build()
 
-        # two-site TFIM Hamiltonian term, (q2 q1) index order
+        if self.scan:
+            from dqc_tpu.circuit.fusion import fuse_tape
+            from dqc_tpu.circuit.scan import fuse_layer
+
+            pro = AutoGradCircuit(self.n, dtype=self.dtype)
+            for i in range(self.n):
+                pro.add_q1_const_gate(i)
+            layer = AutoGradCircuit(self.n, dtype=self.dtype)
+            self._add_layer_gates(layer)
+            epi = AutoGradCircuit(self.n, dtype=self.dtype)
+            for i in range(self.n - 1):
+                epi.get_q2_dens_op_with_grad(i, i + 1)
+            epi.get_q2_dens_op_with_grad(0, self.n - 1)
+            self._pro_ftape = fuse_tape(pro.tape)
+            self._layer_ftape = fuse_layer(layer.tape)
+            self._epi_ftape = fuse_tape(epi.tape)
+
+        # two-site TFIM Hamiltonian term, (q2 q1) index order; host-side
         sz = np.array([[1, 0], [0, -1]], dtype=complex)
         sx = np.array([[0, 1], [1, 0]], dtype=complex)
         eye = np.eye(2, dtype=complex)
-        h = (
+        self.h = (
             -np.kron(sz, sz)
             - 0.5 * self.field * (np.kron(sx, eye) + np.kron(eye, sx))
-        )
-        # kept host-side; embeds as a constant wherever it is traced
-        self.h = h.astype(self.dtype)
+        ).astype(self.dtype)
+
+    def _add_layer_gates(self, c: AutoGradCircuit) -> None:
+        """One ansatz layer (reference example_vqse_ising.py:68-75)."""
+        for i in range(self.n - 1):
+            c.add_q2_var_gate_diag(i, i + 1)
+        c.add_q2_var_gate_diag(0, self.n - 1)  # ring closure
+        for i in range(self.n):
+            c.add_q1_var_gate(i)
 
     # -- parameterization ----------------------------------------------------
 
@@ -78,13 +105,23 @@ class VQEIsing:
         copies of x(beta) (reference example_vqse_ising.py:42-49)."""
         gates: List[jax.Array] = []
         for layer in range(self.layers):
-            gamma = params[2 * layer]
-            beta = params[2 * layer + 1]
-            zz = G.zz(gamma, self.dtype)
-            x = G.x_rotation(beta, self.dtype).reshape(-1)
+            zz = G.zz(params[2 * layer], self.dtype)
+            x = G.x_rotation(params[2 * layer + 1], self.dtype).reshape(-1)
             gates += self.n * [zz]
             gates += self.n * [x]
         return gates
+
+    def _stacked_gates(self, params: jax.Array):
+        """(L,) gammas/betas -> per-layer stacked gate slots for the scan."""
+        gammas = params[0::2].astype(self.dtype)
+        betas = params[1::2]
+        e_m = jnp.exp(-1j * gammas)
+        e_p = jnp.exp(1j * gammas)
+        zz_stack = jnp.stack([e_m, e_p, e_p, e_m], axis=-1)          # (L, 4)
+        cb = jnp.cos(betas).astype(self.dtype)
+        sb = (-1j * jnp.sin(betas)).astype(self.dtype)
+        x_stack = jnp.stack([cb, sb, sb, cb], axis=-1)               # (L, 4)
+        return tuple([zz_stack] * self.n + [x_stack] * self.n)
 
     def init_params(self, key) -> jax.Array:
         real_dtype = config.real_of(self.dtype)
@@ -94,8 +131,21 @@ class VQEIsing:
 
     def energy(self, params: jax.Array) -> jax.Array:
         """TFIM energy estimate (real scalar), fully differentiable."""
-        gates = self.params2gates(params)
-        densities = self._autodiff_run(gates, self._const_gates)
+        if self.scan:
+            from dqc_tpu.circuit.fused_autograd import fused_run, fused_tape_forward
+            from dqc_tpu.circuit.scan import scanned_layers
+            from dqc_tpu.ops.statevector import standard_state
+
+            state = standard_state(self.n, self.dtype)
+            _, state = fused_run(self._pro_ftape, state, (), tuple(self._const_gates))
+            state = scanned_layers(
+                self._layer_ftape, state, self._stacked_gates(params), ()
+            )
+            densities = fused_tape_forward(self._epi_ftape, state, (), ())
+        else:
+            densities = self._autodiff_run(
+                self.params2gates(params), self._const_gates
+            )
         e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
         return e.real
 
