@@ -81,7 +81,25 @@ class FusedTape:
         return -1
 
 
-def fuse_tape(tape: Tape) -> FusedTape:
+def fuse_tape(tape: Tape, use_native: bool = None) -> FusedTape:
+    """Compile a tape. Uses the native C++ planner (native/dqc_planner.cpp)
+    when built — identical output, enforced by tests/test_native.py; the
+    Python path below is the reference implementation and fallback."""
+    import os
+    if use_native is None:
+        use_native = os.environ.get("DQC_USE_NATIVE", "1") != "0"
+    if use_native:
+        try:
+            from dqc_tpu import native
+            out = native.fuse_tape_native(tape, GROUP_BITS)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return _fuse_tape_py(tape)
+
+
+def _fuse_tape_py(tape: Tape) -> FusedTape:
     n = tape.n
     pending: Dict[int, List[GateRef]] = {}
     out: List[object] = []

@@ -1,3 +1,6 @@
 from dqc_tpu.models.vqe_ising import VQEIsing
+from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+from dqc_tpu.models.qaoa import QAOAMaxCut
+from dqc_tpu.models.ghz import GHZ
 
-__all__ = ["VQEIsing"]
+__all__ = ["VQEIsing", "HardwareEfficientAnsatz", "QAOAMaxCut", "GHZ"]

@@ -306,21 +306,31 @@ def _selector_matrix(rel_positions: Tuple[int, ...], g: int) -> np.ndarray:
 # Sub-block extraction for reductions
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _bit_permutation_matrix(new_order_msb: Tuple[int, ...], g: int) -> np.ndarray:
+    """Permutation matrix P with ``P[new, old] = 1`` where the new axis index
+    reads the old bits in ``new_order_msb`` order. Static numpy: embeds once,
+    applies as one un-padded 2^g matmul (a bit-split transpose would
+    materialize a (2,)*g-shaped copy — 64x tile padding on TPU)."""
+    size = 1 << g
+    P = np.zeros((size, size), dtype=np.float32)
+    old = np.arange(size)
+    new = np.zeros(size, dtype=np.int64)
+    for i, b in enumerate(new_order_msb):
+        new |= ((old >> b) & 1) << (g - 1 - i)
+    P[new, old] = 1.0
+    return P
+
+
 def _permute_group_bits(t: jax.Array, new_order_msb: Sequence[int], j: int) -> jax.Array:
     """Re-order the bits of group axis ``j`` so the axis index reads them in
     ``new_order_msb`` (a permutation of 0..g-1, msb-first)."""
     ax = _axis_of_group(t.ndim, j)
     g = t.shape[ax].bit_length() - 1
-    shape = t.shape[:ax] + (2,) * g + t.shape[ax + 1:]
-    tt = t.reshape(shape)
-    # the sub-axis holding in-group bit b is ax + (g-1-b)
-    perm = (
-        list(range(ax))
-        + [ax + (g - 1 - b) for b in new_order_msb]
-        + list(range(ax + g, ax + g + (t.ndim - 1 - ax)))
-    )
-    tt = tt.transpose(perm)
-    return tt.reshape(t.shape)
+    order = tuple(int(b) for b in new_order_msb)
+    if order == tuple(range(g - 1, -1, -1)):
+        return t  # identity
+    return apply_group_matrix(t, _bit_permutation_matrix(order, g), j)
 
 
 def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:

@@ -76,8 +76,25 @@ def _next_use(tape: Tape, start: int, logical: int) -> int:
     return 1 << 30
 
 
-def plan_distribution(tape: Tape, k: int) -> DistProgram:
-    """Compile ``tape`` for a ``2^k``-device mesh."""
+def plan_distribution(tape: Tape, k: int, use_native: bool = None) -> DistProgram:
+    """Compile ``tape`` for a ``2^k``-device mesh. Uses the native C++
+    planner when built (identical output; tests/test_native.py), falling
+    back to the Python reference implementation below."""
+    import os
+    if use_native is None:
+        use_native = os.environ.get("DQC_USE_NATIVE", "1") != "0"
+    if use_native:
+        try:
+            from dqc_tpu import native
+            out = native.plan_distribution_native(tape, k)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return _plan_distribution_py(tape, k)
+
+
+def _plan_distribution_py(tape: Tape, k: int) -> DistProgram:
     n = tape.n
     m = n - k
     if k == 0:

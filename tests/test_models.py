@@ -13,7 +13,7 @@ from dqc_tpu.parallel import make_mesh
 
 
 def test_vqe_ising_converges():
-    model = VQEIsing(qubits_number=8, layers_number=6, dtype=jnp.complex128)
+    model = VQEIsing(qubits_number=6, layers_number=6, dtype=jnp.complex128)
     params = model.init_params(jax.random.PRNGKey(42))
     solver = optax.lbfgs()
     opt_state = solver.init(params)
@@ -26,7 +26,7 @@ def test_vqe_ising_converges():
         )
         return optax.apply_updates(params, updates), opt_state, value
 
-    for _ in range(150):
+    for _ in range(100):
         params, opt_state, value = step(params, opt_state)
     e = float(model.energy(params))
     exact = model.exact_ground_energy()
@@ -36,7 +36,7 @@ def test_vqe_ising_converges():
 
 def test_vqe_distributed_matches_single():
     mesh = make_mesh(8)
-    model = VQEIsing(qubits_number=8, layers_number=3, dtype=jnp.complex128)
+    model = VQEIsing(qubits_number=8, layers_number=2, dtype=jnp.complex128, scan=False)
     params = model.init_params(jax.random.PRNGKey(1))
     e_dist = model.build_distributed_energy(mesh)
 

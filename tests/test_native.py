@@ -1,0 +1,62 @@
+"""Native planner parity: the C++ tape compiler must produce byte-identical
+programs to the Python reference implementations."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from dqc_tpu import native
+from dqc_tpu.circuit.fusion import _fuse_tape_py as fuse_tape
+from dqc_tpu.ops.groups import GROUP_BITS
+from dqc_tpu.parallel.layout import _plan_distribution_py as plan_distribution
+
+from test_autodiff import build_gauntlet
+from test_sharded import build_mixed_circuit
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native planner not built (make -C native)"
+)
+
+
+@needs_native
+def test_fusion_parity_gauntlet():
+    tape = build_gauntlet(9, 2).tape
+    want = fuse_tape(tape)
+    got = native.fuse_tape_native(tape, GROUP_BITS)
+    assert got is not None
+    assert got == want
+
+
+@needs_native
+def test_fusion_parity_mixed():
+    c, _, _ = build_mixed_circuit(10)
+    want = fuse_tape(c.tape)
+    got = native.fuse_tape_native(c.tape, GROUP_BITS)
+    assert got == want
+
+
+@needs_native
+def test_distribution_parity():
+    for n, k, seed in [(8, 3, 0), (10, 2, 1), (10, 3, 2), (9, 1, 3)]:
+        c, _, _ = build_mixed_circuit(n, seed=seed)
+        want = plan_distribution(c.tape, k)
+        got = native.plan_distribution_native(c.tape, k)
+        assert got == want, f"n={n} k={k}"
+
+
+@needs_native
+def test_distribution_error_cases():
+    c, _, _ = build_mixed_circuit(4)
+    # 8 devices on 4 qubits: device block cannot fit locally
+    assert native.plan_distribution_native(c.tape, 3) is None
+
+
+def test_native_build_from_source(tmp_path):
+    """The library rebuilds from a clean objdir with the checked-in Makefile."""
+    r = subprocess.run(
+        ["make", "-C", "native", "-n"], capture_output=True, text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert r.returncode == 0

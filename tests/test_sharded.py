@@ -97,8 +97,8 @@ def test_gradient_parity(mesh8):
             return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
         return loss
 
-    g_single = jax.grad(loss_of(a_run))(tuple(var_gates))
-    g_dist = jax.grad(loss_of(da_run))(tuple(var_gates))
+    g_single = jax.jit(jax.grad(loss_of(a_run)))(tuple(var_gates))
+    g_dist = jax.jit(jax.grad(loss_of(da_run)))(tuple(var_gates))
     assert len(g_single) == len(g_dist)
     for a, b in zip(g_single, g_dist):
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
@@ -121,7 +121,7 @@ def test_gradient_parity_jitted(mesh8):
         dens = a_run(vg, tuple(const_gates))
         return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
 
-    v2, g2 = jax.value_and_grad(loss_s)(tuple(var_gates))
+    v2, g2 = jax.jit(jax.value_and_grad(loss_s))(tuple(var_gates))
     np.testing.assert_allclose(v1, v2, rtol=1e-11)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
