@@ -37,13 +37,20 @@ def run_bench(n_qubits: int, layers: int):
     params = model.init_params(jax.random.PRNGKey(0))
     step = jax.jit(jax.value_and_grad(model.magnetization))
 
+    def fetch(v, g):
+        # forces true completion: on remote-tunnel backends block_until_ready
+        # can return before execution finishes; a host fetch cannot
+        s = float(v)
+        s += float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(g)[0])))
+        return s
+
     v, g = step(params)  # compile + warm up
-    jax.block_until_ready((v, g))
+    fetch(v, g)
 
     t0 = time.time()
     for _ in range(REPS):
         v, g = step(params)
-    jax.block_until_ready((v, g))
+    fetch(v, g)
     dt = (time.time() - t0) / REPS
 
     if not bool(jnp.isfinite(v)):

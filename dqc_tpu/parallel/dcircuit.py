@@ -45,6 +45,7 @@ class DistributedCircuit:
         mesh: Mesh,
         axis: str = AXIS,
         dtype=None,
+        fused: bool = True,
     ):
         if isinstance(circuit, AutoGradCircuit):
             self.tape: Tape = circuit.tape
@@ -60,6 +61,10 @@ class DistributedCircuit:
         self.axis = axis
         self.k = mesh_bits(mesh, axis)
         self.program = plan_distribution(self.tape, self.k)
+        self.fused = bool(fused)
+        if self.fused:
+            from dqc_tpu.parallel.fused_executor import fuse_distributed
+            self.dprog = fuse_distributed(self.program)
 
     # -- initial state -------------------------------------------------------
 
@@ -80,18 +85,27 @@ class DistributedCircuit:
     # -- build ----------------------------------------------------------------
 
     def _make_runner(self, only_diff: bool, use_vjp: bool) -> Callable:
-        prog, axis, mesh, dtype = self.program, self.axis, self.mesh, self.dtype
+        axis, mesh, dtype = self.axis, self.mesh, self.dtype
         n, k = self.tape.n, self.k
         init_pair = self._init_pair()
         tape = self.tape
+        if self.fused:
+            from dqc_tpu.parallel.fused_executor import (
+                dist_fused_forward, dist_fused_run,
+            )
+            prog = self.dprog
+            run_fn, vjp_fn = dist_fused_run, dist_fused_forward
+        else:
+            prog = self.program
+            run_fn, vjp_fn = dist_run, dist_tape_forward
 
         if init_pair is None:
             def body(var_gates, const_gates):
                 local = dist.local_standard_state(n, k, axis, dtype)
                 if use_vjp:
-                    return list(dist_tape_forward(prog, axis, local, var_gates, const_gates))
-                dens, _ = dist_run(prog, axis, local, var_gates, const_gates,
-                                   only_diff=only_diff)
+                    return list(vjp_fn(prog, axis, local, var_gates, const_gates))
+                dens, _ = run_fn(prog, axis, local, var_gates, const_gates,
+                                 only_diff=only_diff)
                 return list(dens)
 
             mapped = shard_map(
@@ -105,9 +119,9 @@ class DistributedCircuit:
             def body(pair_local, var_gates, const_gates):
                 local = jax.lax.complex(pair_local[0], pair_local[1]).astype(dtype)
                 if use_vjp:
-                    return list(dist_tape_forward(prog, axis, local, var_gates, const_gates))
-                dens, _ = dist_run(prog, axis, local, var_gates, const_gates,
-                                   only_diff=only_diff)
+                    return list(vjp_fn(prog, axis, local, var_gates, const_gates))
+                dens, _ = run_fn(prog, axis, local, var_gates, const_gates,
+                                 only_diff=only_diff)
                 return list(dens)
 
             mapped = shard_map(
