@@ -153,16 +153,19 @@ def fused_run(
     t = gr.to_grouped(jnp.asarray(state), n)
     sizes = gr.group_sizes_low_first(n)
     densities: List[jax.Array] = []
+    gram_cache: dict = {}  # per-group Grams shared by densities at one point
     for idx, fi in enumerate(ftape.instructions):
         if stop_after is not None and idx > stop_after:
             break
         if isinstance(fi, FDensity):
             if fi.diff or not only_diff:
-                densities.append(gr.density(t, fi.positions, n))
+                densities.append(gr.density_cached(t, fi.positions, n, gram_cache))
         elif isinstance(fi, FBlock):
+            gram_cache.clear()
             ops = _block_ops(fi, var_gates, const_gates, sizes[fi.group], t.dtype)
             t = _apply_block(t, fi, ops)
         elif isinstance(fi, FCross):
+            gram_cache.clear()
             gate = _astype_host(
                 _ref_gate(
                     GateRef(fi.var, fi.queue_idx, (), fi.diag, fi.unitary),

@@ -403,10 +403,79 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
 # Reductions
 # ---------------------------------------------------------------------------
 
+def group_gram(t: jax.Array, j: int) -> jax.Array:
+    """Full-group Gram ``G[x, y] = sum_b t[x, b] conj(t[y, b])`` over group
+    axis ``j`` — ONE MXU sweep; every reduced density matrix of qubits in
+    this group is a tiny bit-rotation + partial trace of it."""
+    return group_pair_gram(t.conj(), t, j)
+
+
+def density_from_gram(G: jax.Array, rel_positions: Sequence[int], g: int) -> jax.Array:
+    """k-qubit density from its group's Gram: rotate the Gram's bits so the
+    targets are on top (tiny cached permutation matmuls), then trace the
+    rest."""
+    rel_positions = tuple(int(p) for p in rel_positions)
+    k = len(rel_positions)
+    order = tuple(rel_positions) + tuple(
+        b for b in range(g - 1, -1, -1) if b not in rel_positions
+    )
+    if order != tuple(range(g - 1, -1, -1)):
+        P = _bit_permutation_matrix(order, g)
+        Pc = P.astype(G.dtype) if isinstance(G, np.ndarray) else P
+        G = jnp.matmul(jnp.matmul(Pc, G, precision=config.matmul_precision()),
+                       Pc.T, precision=config.matmul_precision())
+    R = 1 << (g - k)
+    Gv = G.reshape(1 << k, R, 1 << k, R)
+    return jnp.einsum("arbr->ab", Gv)
+
+
 def density(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
-    """Reduced density matrix: Gram of the sub-block matrix."""
+    """Reduced density matrix.
+
+    Single-group targets (every 1q density; most 2q) go through the group
+    Gram — one un-padded MXU sweep + tiny matrix algebra. Cross-group
+    targets use the sub-block Gram. (A naive (2^k, 2^(n-k)) stack pads its
+    leading dim 2->8 under TPU tiling — 4x HBM on a 2-row stack.)
+    """
+    positions = tuple(int(p) for p in positions)
+    groups = {group_of_bit(n, p)[0] for p in positions}
+    if len(groups) == 1:
+        j = groups.pop()
+        g = group_sizes_low_first(n)[j]
+        rels = tuple(p % GROUP_BITS for p in positions)
+        return density_from_gram(group_gram(t, j), rels, g)
     S = subblocks(t, positions, n)
     return jnp.matmul(S, S.conj().T, precision=config.matmul_precision())
+
+
+def density_cached(t: jax.Array, positions: Sequence[int], n: int,
+                   cache: dict, psum_axis=None) -> jax.Array:
+    """Density with per-group Gram sharing: consecutive density requests at
+    the same circuit point (the usual epilogue pattern — every qubit's 1q
+    density, every neighbour pair's 2q density) reuse ONE Gram sweep per
+    group. ``cache`` must be cleared whenever the state changes.
+
+    ``psum_axis``: in distributed execution the Gram itself is psummed once
+    per group (psum is linear), so each extra density costs no collective.
+    """
+    positions = tuple(int(p) for p in positions)
+    groups = {group_of_bit(n, p)[0] for p in positions}
+    if len(groups) == 1:
+        j = groups.pop()
+        g = group_sizes_low_first(n)[j]
+        G = cache.get(j)
+        if G is None:
+            G = group_gram(t, j)
+            if psum_axis is not None:
+                G = jax.lax.psum(G, psum_axis)
+            cache[j] = G
+        rels = tuple(p % GROUP_BITS for p in positions)
+        return density_from_gram(G, rels, g)
+    S = subblocks(t, positions, n)
+    rho = jnp.matmul(S, S.conj().T, precision=config.matmul_precision())
+    if psum_axis is not None:
+        rho = jax.lax.psum(rho, psum_axis)
+    return rho
 
 
 def pair_grad(fwd_t: jax.Array, bwd_t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:

@@ -124,18 +124,23 @@ def dist_fused_run(
     m = dprog.m
     state = jnp.asarray(local_state)
     densities: List[jax.Array] = []
+    gram_cache: dict = {}
     for idx, di in enumerate(dprog.instructions):
         if stop_after is not None and idx > stop_after:
             break
         if isinstance(di, FSeg):
+            gram_cache.clear()
             vg, cg = _seg_gates(di, var_gates, const_gates)
             _, state = fused_run(di.ftape, state, vg, cg)
         elif isinstance(di, DSwap):
+            gram_cache.clear()
             state = dist.swap_global_block(state, di.local_positions, axis)
         elif isinstance(di, DDensity):
             if di.diff or not only_diff:
-                partial_rho = gr.density(gr.to_grouped(state, m), di.positions, m)
-                densities.append(jax.lax.psum(partial_rho, axis))
+                densities.append(gr.density_cached(
+                    gr.to_grouped(state, m), di.positions, m, gram_cache,
+                    psum_axis=axis,
+                ))
         else:
             raise AssertionError(di)
     return tuple(densities), state
