@@ -14,6 +14,9 @@ Usage:  python examples/example_vqse_ising.py [--qubits 26] [--layers 26]
         [--iters 300] [--dtype complex64]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
