@@ -172,14 +172,33 @@ def expand_diag_in_group(diag, rel_positions: Sequence[int], g: int):
 # ---------------------------------------------------------------------------
 
 def apply_group_matrix(t: jax.Array, E: jax.Array, j: int) -> jax.Array:
-    """One matmul: contract group axis ``j`` with a full-group operator."""
+    """One matmul: contract group axis ``j`` with a full-group operator.
+
+    Expressed as plain 2-D / 3-D-batched matmuls (never a rank-n
+    dot_general): XLA lowers those without materializing layout-transposed
+    copies of the full state, which at 28 qubits are 1 GiB each and OOM HBM.
+    """
     ax = _axis_of_group(t.ndim, j)
-    sub = _LETTERS[: t.ndim]
-    out = sub[:ax] + "Z" + sub[ax + 1:]
-    return jnp.einsum(
-        f"{sub},Z{sub[ax]}->{out}", t, E.astype(t.dtype),
-        precision=config.matmul_precision(),
-    )
+    E = E.astype(t.dtype)
+    prec = config.matmul_precision()
+    shape = t.shape
+    G = shape[ax]
+    if ax == t.ndim - 1:           # minor (lane) group: (X, G) @ E^T
+        S2 = t.reshape(-1, G)
+        out = jnp.matmul(S2, E.T, precision=prec)
+    elif ax == 0:                  # leading group: E @ (G, X)
+        S2 = t.reshape(G, -1)
+        out = jnp.matmul(E, S2, precision=prec)
+    else:                          # interior: batched (G, B) matmuls
+        A = 1
+        for d in shape[:ax]:
+            A *= d
+        B = 1
+        for d in shape[ax + 1:]:
+            B *= d
+        S3 = t.reshape(A, G, B)
+        out = jnp.einsum("agb,Zg->aZb", S3, E, precision=prec)
+    return out.reshape(shape)
 
 
 def apply_group_diag(t: jax.Array, table: jax.Array, j: int) -> jax.Array:
@@ -505,9 +524,23 @@ def group_pair_gram(fwd_t: jax.Array, bwd_t: jax.Array, j: int) -> jax.Array:
     over group axis ``j`` — ONE pair of sweeps yields every per-gate gradient
     of a fused block (chain rule closes in 2^g x 2^g matrix algebra)."""
     ax = _axis_of_group(fwd_t.ndim, j)
-    sub = _LETTERS[: fwd_t.ndim]
-    o1 = sub[:ax] + "Z" + sub[ax + 1:]
+    prec = config.matmul_precision()
+    G = fwd_t.shape[ax]
+    if ax == fwd_t.ndim - 1:
+        B2 = bwd_t.reshape(-1, G)
+        F2 = fwd_t.reshape(-1, G)
+        return jnp.matmul(B2.T, F2, precision=prec)
+    if ax == 0:
+        B2 = bwd_t.reshape(G, -1)
+        F2 = fwd_t.reshape(G, -1)
+        return jnp.matmul(B2, F2.T, precision=prec)
+    A = 1
+    for d in fwd_t.shape[:ax]:
+        A *= d
+    B = 1
+    for d in fwd_t.shape[ax + 1:]:
+        B *= d
     return jnp.einsum(
-        f"{o1},{sub}->Z{sub[ax]}", bwd_t, fwd_t,
-        precision=config.matmul_precision(),
+        "axb,ayb->xy", bwd_t.reshape(A, G, B), fwd_t.reshape(A, G, B),
+        precision=prec,
     )

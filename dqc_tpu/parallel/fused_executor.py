@@ -179,6 +179,17 @@ def _bwd(dprog, axis, residuals, density_cts):
     fwd = gr.to_grouped(jnp.asarray(state), m)
     bwd = None
     var_cts: Dict[int, jax.Array] = {}
+    pending: Dict[int, jax.Array] = {}  # group -> summed seed operator
+
+    def flush_seeds(fwd, bwd):
+        if not pending:
+            return bwd
+        conj = fwd.conj()
+        for j, M in pending.items():
+            seed = gr.apply_group_matrix(conj, M, j)
+            bwd = seed if bwd is None else bwd + seed
+        pending.clear()
+        return bwd
 
     for idx in range(last, -1, -1):
         di = dprog.instructions[idx]
@@ -188,9 +199,19 @@ def _bwd(dprog, axis, residuals, density_cts):
             ct = ct_of[idx]
             d = 1 << len(di.positions)
             ct_m = jnp.asarray(ct).reshape(d, d).astype(fwd.dtype)
-            seed = gr.apply_dense(fwd.conj(), ct_m + ct_m.conj().T, di.positions, m)
-            bwd = seed if bwd is None else bwd + seed
+            sym = ct_m + ct_m.conj().T
+            groups_hit = {gr.group_of_bit(m, p)[0] for p in di.positions}
+            if len(groups_hit) == 1:
+                j = groups_hit.pop()
+                g = sizes[j]
+                rels = tuple(p % gr.GROUP_BITS for p in di.positions)
+                E = gr.expand_in_group(sym, rels, g)
+                pending[j] = E if j not in pending else pending[j] + E
+            else:
+                seed = gr.apply_dense(fwd.conj(), sym, di.positions, m)
+                bwd = seed if bwd is None else bwd + seed
             continue
+        bwd = flush_seeds(fwd, bwd)
         if isinstance(di, DSwap):
             fwd = gr.to_grouped(
                 dist.swap_global_block(gr.from_grouped(fwd), di.local_positions, axis), m
@@ -207,6 +228,7 @@ def _bwd(dprog, axis, residuals, density_cts):
             fwd, bwd = _backward_gate_step(fi, fwd, bwd, vg, cg, sizes, m, seg_cts)
         for local_q, ct in seg_cts.items():
             var_cts[di.var_base + local_q] = ct
+    bwd = flush_seeds(fwd, bwd)
 
     init_ref = jnp.asarray(local_state)
     state_ct = jnp.zeros_like(init_ref) if bwd is None else gr.from_grouped(bwd).astype(init_ref.dtype)
