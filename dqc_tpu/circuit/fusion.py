@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from dqc_tpu.circuit.ir import InstrKind, Tape
-from dqc_tpu.ops.groups import GROUP_BITS, group_of_bit, group_sizes_low_first
+from dqc_tpu.ops.groups import GROUP_BITS, group_of_bit
 
 
 @dataclass(frozen=True)

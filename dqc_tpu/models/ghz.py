@@ -4,7 +4,6 @@ reference src/test_ghz.py): Hadamard on qubit 0 + a CNOT chain."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dqc_tpu import config

@@ -31,8 +31,6 @@ gates (k up to ~10) where the matmul genuinely fills the MXU.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

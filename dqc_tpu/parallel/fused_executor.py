@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from dqc_tpu.circuit.fused_autograd import _backward_gate_step, fused_run
 from dqc_tpu.circuit.fusion import FusedTape, fuse_tape
-from dqc_tpu.circuit.ir import InstrKind, Instruction, Tape
+from dqc_tpu.circuit.ir import Instruction, Tape
 from dqc_tpu.ops import groups as gr
 from dqc_tpu.parallel import dist
 from dqc_tpu.parallel.layout import DApply, DDensity, DistProgram, DSwap

@@ -18,9 +18,9 @@ than O(gates).)
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
-from dqc_tpu.circuit.ir import InstrKind, Instruction, Tape
+from dqc_tpu.circuit.ir import InstrKind, Tape
 
 
 @dataclass(frozen=True)
