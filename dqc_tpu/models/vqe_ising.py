@@ -149,20 +149,74 @@ class VQEIsing:
         e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
         return e.real
 
-    def build_distributed_energy(self, mesh, axis=None):
-        """Energy over a sharded statevector: same tape compiled for a
-        device mesh (parallel/dcircuit.py). Returns a jit/grad-able
-        ``energy(params) -> real scalar``."""
-        from dqc_tpu.parallel import AXIS, DistributedCircuit
+    def build_distributed_energy(self, mesh, axis=None, scan: Optional[bool] = None):
+        """Energy over a sharded statevector (parallel/). Returns a
+        jit/grad-able ``energy(params) -> real scalar``.
 
-        dc = DistributedCircuit(self.circuit, mesh, axis=axis or AXIS, dtype=self.dtype)
-        _, run = dc.build()
+        ``scan=True`` (default when the model is in scan mode) runs the
+        repeated layer as one layout-periodic lax.scan body inside the
+        shard_map region — deep circuits on a mesh with depth-independent
+        program size."""
+        from dqc_tpu.parallel import AXIS, DistributedCircuit
+        from dqc_tpu.parallel.mesh import mesh_bits
+
+        axis = axis or AXIS
+        scan = self.scan if scan is None else bool(scan)
+        if not scan:
+            dc = DistributedCircuit(self.circuit, mesh, axis=axis, dtype=self.dtype)
+            _, run = dc.build()
+
+            def energy(params):
+                gates = self.params2gates(params)
+                densities = run(gates, self._const_gates)
+                e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
+                return e.real
+
+            return energy
+
+        from jax.sharding import PartitionSpec as P
+
+        from dqc_tpu.circuit.builder import AutoGradCircuit
+        from dqc_tpu.parallel import dist as pdist
+        from dqc_tpu.parallel.fused_executor import (
+            dist_fused_forward, dist_fused_run, fuse_distributed,
+        )
+        from dqc_tpu.parallel.layout import plan_distribution
+        from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
+
+        n, dtype = self.n, self.dtype
+        k = mesh_bits(mesh, axis)
+
+        pro = AutoGradCircuit(n, dtype=dtype)
+        for i in range(n):
+            pro.add_q1_const_gate(i)
+        layer = AutoGradCircuit(n, dtype=dtype)
+        self._add_layer_gates(layer)
+        epi = AutoGradCircuit(n, dtype=dtype)
+        for i in range(n - 1):
+            epi.get_q2_dens_op_with_grad(i, i + 1)
+        epi.get_q2_dens_op_with_grad(0, n - 1)
+
+        from dqc_tpu.parallel.scan import roundtrip_program
+        pro_prog = roundtrip_program(plan_distribution(pro.tape, k))
+        layer_prog = plan_layer_roundtrip(layer.tape, k)
+        epi_prog = fuse_distributed(plan_distribution(epi.tape, k))
+        const_gates = tuple(self._const_gates)
+        h = self.h
+
+        def body(stacked):
+            local = pdist.local_standard_state(n, k, axis, dtype)
+            _, local = dist_fused_run(pro_prog, axis, local, (), const_gates)
+            local = dist_scanned_layers(layer_prog, axis, local, stacked, ())
+            densities = dist_fused_forward(epi_prog, axis, local, (), ())
+            e = sum(jnp.einsum("ij,ji->", dm, h) for dm in densities)
+            return e.real
+
+        mapped = jax.shard_map(body, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                               check_vma=False)
 
         def energy(params):
-            gates = self.params2gates(params)
-            densities = run(gates, self._const_gates)
-            e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
-            return e.real
+            return mapped(self._stacked_gates(params))
 
         return energy
 

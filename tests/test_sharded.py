@@ -155,3 +155,19 @@ def test_mesh_validation():
     c, _, _ = build_mixed_circuit(4)
     with pytest.raises(ValueError):
         plan_distribution(c.tape, 3)  # 8 devices on 4 qubits: block can't fit
+
+
+def test_vqe_distributed_scan_matches(mesh8):
+    from dqc_tpu.models.vqe_ising import VQEIsing
+    model = VQEIsing(qubits_number=8, layers_number=4, dtype=C128, scan=True)
+    params = model.init_params(jax.random.PRNGKey(6))
+    e_scan = model.build_distributed_energy(mesh8, scan=True)
+    e_flat = model.build_distributed_energy(mesh8, scan=False)
+
+    v1, g1 = jax.jit(jax.value_and_grad(e_scan))(params)
+    v2, g2 = jax.jit(jax.value_and_grad(e_flat))(params)
+    v3, g3 = jax.value_and_grad(model.energy)(params)  # single-device
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    np.testing.assert_allclose(v1, v3, rtol=1e-10)
+    np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(g1, g3, rtol=1e-8, atol=1e-11)
