@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
 QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
-LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "4"))
+LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "8"))
 REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
 
 

@@ -45,16 +45,22 @@ def fuse_layer(tape: Tape) -> FusedTape:
     return ftape
 
 
+import os
+_SCAN_UNROLL = int(os.environ.get("DQC_SCAN_UNROLL", "1"))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates, const_gates):
     """Apply the layer ``L`` times: leaves of ``stacked_var_gates`` carry a
     leading layer axis; ``const_gates`` are shared by every layer. Returns
-    the final statevector (flat)."""
+    the final statevector (flat). DQC_SCAN_UNROLL unrolls the scan body
+    (compile-size/time tradeoff)."""
     def body(state, layer_gates):
         _, state = fused_run(ftape, state, layer_gates, const_gates)
         return state, None
 
-    final, _ = jax.lax.scan(body, jnp.asarray(initial_state), stacked_var_gates)
+    final, _ = jax.lax.scan(body, jnp.asarray(initial_state), stacked_var_gates,
+                            unroll=_SCAN_UNROLL)
     return final
 
 
@@ -87,6 +93,7 @@ def _bwd(ftape, residuals, ct):
         (jnp.asarray(final), jnp.asarray(ct).astype(jnp.asarray(final).dtype)),
         stacked_var_gates,
         reverse=True,
+        unroll=_SCAN_UNROLL,
     )
     init_ref = jnp.asarray(initial_state)
     state_ct = bwd0.astype(init_ref.dtype)

@@ -277,3 +277,35 @@ def test_initial_state_gradient():
     np.testing.assert_allclose(
         jax.grad(loss_custom)(psi0), jax.grad(loss_plain)(psi0), rtol=1e-10, atol=1e-12
     )
+
+
+def test_finite_difference_gauntlet_full_scale():
+    """The reference's gauntlet at its original scale: 15 qubits, 10 layers,
+    every instruction kind (reference src/test_autodiff.py:12-14)."""
+    n, layers = 15, 10
+    eta = 1e-6
+    rng = np.random.default_rng(1)
+
+    c = build_gauntlet(n, layers)
+    _, fwd_circ = c.build()
+    loss = av_tsallis(fwd_circ)
+
+    const_gates = gauntlet_gates(rng, n, layers, var=False)
+    var_gates = gauntlet_gates(rng, n, layers, var=True)
+    pert = perturbations(rng, var_gates)
+
+    shifted = {}
+    def at(t):
+        if t not in shifted:
+            sg = [g + t * p for g, p in zip(var_gates, pert)]
+            shifted[t] = loss(sg, const_gates)
+        return shifted[t]
+
+    coeffs = {4: -1 / 280, 3: 4 / 105, 2: -1 / 5, 1: 4 / 5}
+    ds_fd = sum(c8 * (at(m * eta) - at(-m * eta)) for m, c8 in coeffs.items()) / eta
+
+    grads = jax.grad(loss, argnums=0)(var_gates, const_gates)
+    ds_ad = sum(jnp.tensordot(g, p, axes=1).real for g, p in zip(grads, pert))
+
+    rel = abs(ds_ad - ds_fd) / min(abs(ds_ad), abs(ds_fd))
+    assert rel < 1e-9, f"relative error {rel}"
