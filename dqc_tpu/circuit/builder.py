@@ -153,6 +153,9 @@ class AutoGradCircuit:
         ``fused`` (default: ``config.default_fusion()``) selects the
         gate-fusion execution engine (circuit/fusion.py) — semantically
         identical, one HBM sweep per fused block instead of per gate.
+        ``fused=False`` is the per-gate reference path: correct everywhere
+        and fine on CPU, but on TPU its strided state views tile-pad badly —
+        keep fusion on for real hardware.
         """
         tape = self.tape
         fused = config.default_fusion() if fused is None else fused

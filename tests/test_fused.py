@@ -108,3 +108,60 @@ def test_jit_fused():
     np.testing.assert_allclose(v1, v2, rtol=1e-10)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_nonunitary_diag_gates():
+    """Non-unitary diagonal gates (an IR extension beyond the reference's
+    unitary-only diag): uncompute via 1/d must hold in both adjoints."""
+    from dqc_tpu import AutoGradCircuit
+    rng = np.random.default_rng(8)
+    n = 6
+    c = AutoGradCircuit(n, dtype=C128)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    c.add_diag_gate((3, 1), var=True, unitary=False)   # in-group nonu diag
+    c.add_diag_gate((5, 0), var=True, unitary=False)
+    c.get_q1_dens_op_with_grad(2)
+    c.get_q2_dens_op_with_grad(4, 0)
+
+    d1 = rng.normal(size=4) + 1j * rng.normal(size=4)
+    d1 += 2.0  # keep well-conditioned
+    d2 = rng.normal(size=4) + 1j * rng.normal(size=4)
+    d2 += 2.0
+    vg = tuple(
+        [jnp.asarray(oracles.random_unitary(rng, 1).reshape(-1), C128) for _ in range(n)]
+        + [jnp.asarray(d1, C128), jnp.asarray(d2, C128)]
+    )
+
+    def loss_of(fused):
+        _, run = c.build(fused=fused)
+
+        def loss(vg):
+            dens = run(vg, ())
+            return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+        return loss
+
+    v1, g1 = jax.value_and_grad(loss_of(True))(vg)
+    v2, g2 = jax.value_and_grad(loss_of(False))(vg)
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_generic_kqubit_gate_and_density():
+    """Generic k-qubit extension: 3q dense gate + 3q density through the
+    fused engine vs the rank-generic reference ops."""
+    from dqc_tpu import AutoGradCircuit
+    from dqc_tpu.ops import statevector as sv
+    rng = np.random.default_rng(12)
+    n = 7
+    c = AutoGradCircuit(n, dtype=C128)
+    c.add_gate((5, 2, 0), var=True)         # 3q in-group gate
+    c.get_dens_op((4, 1, 0), with_grad=True)  # 3q density
+    _, run = c.build()
+
+    g3 = jnp.asarray(oracles.random_unitary(rng, 3).reshape(-1), C128)
+    dens = run((g3,), ())
+    psi = sv.apply_gate(jnp.asarray(c.initial_state()), g3, (5, 2, 0))
+    want = sv.density(psi, (4, 1, 0))
+    np.testing.assert_allclose(dens[0], want, rtol=1e-10, atol=1e-12)
