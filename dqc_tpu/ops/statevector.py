@@ -277,3 +277,20 @@ def apply_gate_inverse(state: jax.Array, gate: jax.Array, positions: Sequence[in
     primitives.cu:547-570, 622-646)."""
     g = _as_matrix(gate, len(positions))
     return apply_gate(state, jnp.linalg.inv(g), positions)
+
+
+def probabilities(state: jax.Array) -> jax.Array:
+    """Measurement probabilities |psi_i|^2 (real, sums to 1 for normalized
+    states)."""
+    return jnp.real(state * state.conj())
+
+
+def sample_bitstrings(state: jax.Array, key, shots: int) -> jax.Array:
+    """Sample computational-basis measurement outcomes.
+
+    Returns ``(shots,)`` int32 basis indices (qubit 0 = least-significant
+    bit, the framework's convention). An extension beyond the reference,
+    which exposes only density-matrix observables.
+    """
+    logp = jnp.log(probabilities(state) + 1e-38)
+    return jax.random.categorical(key, logp, shape=(shots,)).astype(jnp.int32)

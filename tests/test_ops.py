@@ -223,3 +223,21 @@ def test_jit_and_vmap_compose(rng):
             out[i], oracles.apply_oracle(np.asarray(psi), np.asarray(gs[i]), (2,)),
             rtol=1e-12, atol=1e-12,
         )
+
+
+def test_sampling():
+    # GHZ: outcomes must be all-zeros or all-ones, ~50/50
+    n = 8
+    psi = sv.standard_state(n, jnp.complex128)
+    psi = sv.apply_1q(psi, G.hadamard(jnp.complex128), 0)
+    for i in range(n - 1):
+        psi = sv.apply_2q(psi, G.cnot(jnp.complex128), i, i + 1)
+    samples = np.asarray(sv.sample_bitstrings(psi, jax.random.PRNGKey(0), 4096))
+    allzero = int((samples == 0).sum())
+    allone = int((samples == (1 << n) - 1).sum())
+    assert allzero + allone == 4096
+    assert 1500 < allzero < 2600
+
+    probs = np.asarray(sv.probabilities(psi))
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-10)
+    np.testing.assert_allclose(probs[0], 0.5, rtol=1e-10)
