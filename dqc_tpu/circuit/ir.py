@@ -146,3 +146,22 @@ class Tape:
 
     def append(self, *instructions: Instruction) -> "Tape":
         return Tape(self.n, self.instructions + tuple(instructions))
+
+
+    def summary(self) -> str:
+        """Human-readable tape statistics."""
+        from collections import Counter
+        kinds = Counter()
+        for i in self.instructions:
+            tag = i.kind.value
+            if i.is_gate:
+                tag += f"{i.k}q" + ("/var" if i.var else "/const")
+                if not i.unitary:
+                    tag += "/nonu"
+            else:
+                tag += f"{i.k}q" + ("/diff" if i.diff else "")
+            kinds[tag] += 1
+        lines = [f"Tape({self.n} qubits, {len(self.instructions)} instructions)"]
+        for k in sorted(kinds):
+            lines.append(f"  {k}: {kinds[k]}")
+        return "\n".join(lines)

@@ -53,3 +53,16 @@ def sweep_stats(n_qubits: int, seconds_per_sweep: float, hbm_gbps: float = 819.0
     bytes_moved = (1 << n_qubits) * 8 * 2  # complex64 read + write
     achieved = bytes_moved / seconds_per_sweep / 1e9
     return {"achieved_GBps": achieved, "sol_fraction": achieved / hbm_gbps}
+
+
+def device_info() -> dict:
+    """Backend/device summary (the reference's GPU_PROPERTIES introspection,
+    reference primitives.cu:1081-1095)."""
+    devs = jax.devices()
+    return {
+        "backend": jax.default_backend(),
+        "device_count": len(devs),
+        "devices": [str(d) for d in devs],
+        "platform_version": getattr(devs[0].client, "platform_version", "?")
+        if devs else "?",
+    }
