@@ -3,16 +3,18 @@
 One HBM pass applies full-group operators to BOTH minor qubit groups
 (lane group = qubits 0..6, sublane group = 7..13): the block is read into
 VMEM once, hit with ``Em @ X @ El^T`` complex matmuls (Karatsuba, 3 real
-dots per complex product), and written once — up to 14 qubits' worth of
-fused gates per sweep.
+dots per complex product, combination operands precomputed host-side), and
+written once — up to 14 qubits' worth of fused gates per sweep.
 
-Measured on TPU v5e at 26 qubits: 5.8 ms/sweep at bf16 matmul inputs,
-11.8 ms at full-f32 precision (0.84 ms/gate-equivalent; max |err| 8e-6 vs
-the XLA HIGHEST reference). The XLA grouped-engine path (ops/groups.py)
-reaches ~1.1 ms/gate already, so this kernel is kept as an optional
-building block — wiring it into the engine requires migrating the state to
-a real-plane layout (complex64 refs are not supported by Mosaic, and
-extracting planes per call would cost the saved sweeps).
+Measured on TPU v5e at 26 qubits (tuning notes in BENCHMARKS.md):
+8.8 ms per dual sweep at full-f32 precision with ``a_blk=16`` and
+``dimension_semantics=("arbitrary",)`` — 1.7x the XLA complex einsum path
+per group-sweep, near the f32 MXU 6-pass limit (Mosaic rejects
+``Precision.HIGH``; a manual bf16x3 split is the next lever). Integrating
+into the engine requires a real-plane state layout (complex64 refs are not
+supported by Mosaic, and extracting planes per call costs the saved
+sweeps) — planned for the next round; this module is the tested building
+block.
 
 Works under ``interpret=True`` on CPU for testing.
 """
@@ -30,43 +32,47 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, xr_ref, xi_ref, elr_ref, eli_ref, emr_ref, emi_ref,
-            yr_ref, yi_ref):
-    xr = xr_ref[:]
-    xi = xi_ref[:]
-    elr, eli = elr_ref[:], eli_ref[:]
-    emr, emi = emr_ref[:], emi_ref[:]
-
+def _kernel(a_blk, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_ref):
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
 
-    # lane group: y[a, m, d] = sum_c x[a, m, c] * El[d, c]  (Karatsuba)
-    x2r = xr.reshape(-1, 128)
-    x2i = xi.reshape(-1, 128)
-    t1 = dot(x2r + x2i, elr.T)
-    t2 = dot(x2i, (elr + eli).T)
-    t3 = dot(x2r, (eli - elr).T)
+    # lane group: y = x @ El^T via Karatsuba (k1 = El^T, k2 = (El+iEl_i)^T
+    # style combinations precomputed by the wrapper)
+    x2r = xr_ref[:].reshape(-1, 128)
+    x2i = xi_ref[:].reshape(-1, 128)
+    t1 = dot(x2r + x2i, k1[:])
+    t2 = dot(x2i, k2[:])
+    t3 = dot(x2r, k3[:])
     yr = (t1 - t2).reshape(a_blk, 128, 128)
     yi = (t1 + t3).reshape(a_blk, 128, 128)
 
-    # sublane group per a-slice: z[d, c] = sum_m Em[d, m] y[m, c]
+    # sublane group per a-slice: z = Em @ y
     for a in range(a_blk):
         ar, ai = yr[a], yi[a]
-        u1 = dot(emr, ar + ai)
-        u2 = dot(emr + emi, ai)
-        u3 = dot(emi - emr, ar)
-        yr_ref[a, :, :] = u1 - u2
-        yi_ref[a, :, :] = u1 + u3
+        v1 = dot(m1[:], ar + ai)
+        v2 = dot(m2[:], ai)
+        v3 = dot(m3[:], ar)
+        yr_ref[a, :, :] = v1 - v2
+        yi_ref[a, :, :] = v1 + v3
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
-def dual_group_apply_planes(xr, xi, el, ei, em, emi, *, a_blk: int = 8,
+def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
                             interpret: bool = False):
-    """Apply lane-group operator (el + i*ei) and sublane-group operator
-    (em + i*emi) to a plane-layout state (A, 128, 128) x 2 in one pass."""
+    """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
+    ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
+    HBM pass."""
     assert xr.ndim == 3 and xr.shape[1:] == (128, 128)
     A = xr.shape[0]
-    assert A % a_blk == 0, "A must be divisible by a_blk"
+    if A % a_blk:
+        a_blk = 1 << (min(A, a_blk).bit_length() - 1)
+        while A % a_blk:
+            a_blk >>= 1
+    # Karatsuba combination operands (tiny, host/trace-side)
+    k1 = el_r.T
+    k2 = (el_r + el_i).T
+    k3 = (el_i - el_r).T
+    m1, m2, m3 = em_r, em_r + em_i, em_i - em_r
     bs = lambda i: (i, 0, 0)
     es = lambda i: (0, 0)
     kern = functools.partial(_kernel, a_blk)
@@ -75,15 +81,11 @@ def dual_group_apply_planes(xr, xi, el, ei, em, emi, *, a_blk: int = 8,
         out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
                    jax.ShapeDtypeStruct(xr.shape, F32)),
         grid=(A // a_blk,),
-        in_specs=[
-            pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)),
+        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(xr, xi, el, ei, em, emi)
+    )(xr, xi, k1, k2, k3, m1, m2, m3)
