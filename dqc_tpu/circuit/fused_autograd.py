@@ -26,6 +26,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dqc_tpu.circuit.fusion import FBlock, FCross, FDensity, FusedTape, GateRef
 from dqc_tpu.ops import groups as gr
@@ -40,9 +41,6 @@ from dqc_tpu.ops import groups as gr
 # numpy for constants — TPU backends cannot fetch device-computed complex
 # arrays for constant embedding.
 # ---------------------------------------------------------------------------
-
-import numpy as np
-
 
 def _ref_gate(ref: GateRef, var_gates, const_gates):
     return var_gates[ref.queue_idx] if ref.var else const_gates[ref.queue_idx]
@@ -123,9 +121,8 @@ def _compose(ops: List[jax.Array], *, diag: bool, reverse: bool = False) -> jax.
         for o in ops[1:]:
             total = total * o
         return total
-    seq = ops if not reverse else ops  # order handled by caller's matmul dir
-    total = seq[0]
-    for o in seq[1:]:
+    total = ops[0]
+    for o in ops[1:]:
         total = (total @ o) if reverse else (o @ total)
     return total
 
