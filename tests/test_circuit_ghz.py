@@ -105,3 +105,19 @@ def test_arity_validation():
         simple_run([jnp.zeros(4, jnp.complex128)], ghz_gates(n))  # extra var gate
     with pytest.raises(ValueError):
         simple_run([], ghz_gates(n)[:-1] + [jnp.zeros(3, jnp.complex128)])  # bad shape
+
+
+def test_ghz_reference_scale():
+    """The reference's original scale: 21 qubits (src/test_ghz.py:10)."""
+    n = 21
+    c = AutoGradCircuit(n, dtype=jnp.complex64)
+    c.add_q1_const_gate(0)
+    for i in range(n - 1):
+        c.add_q2_const_gate(i, i + 1)
+    for i in range(n):
+        c.get_q1_dens_op_with_grad(i)
+    _, run = c.build()
+    dens = run([], ghz_gates(n))
+    mixed = np.eye(2) / 2
+    for d in dens:
+        np.testing.assert_allclose(d, mixed, atol=1e-6)

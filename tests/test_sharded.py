@@ -171,3 +171,14 @@ def test_vqe_distributed_scan_matches(mesh8):
     np.testing.assert_allclose(v1, v3, rtol=1e-10)
     np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(g1, g3, rtol=1e-8, atol=1e-11)
+
+
+def test_odd_sizes_distributed(mesh8):
+    """n not aligned to group boundaries, k=3: groups split unevenly."""
+    for n in (9, 11):
+        c, var_gates, const_gates = build_mixed_circuit(n, seed=n)
+        _, a_run = c.build()
+        dc = DistributedCircuit(c, mesh8)
+        _, da_run = dc.build()
+        for w, g in zip(a_run(var_gates, const_gates), da_run(var_gates, const_gates)):
+            np.testing.assert_allclose(g, w, rtol=1e-10, atol=1e-10)
