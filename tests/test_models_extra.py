@@ -62,3 +62,12 @@ def test_qaoa_weighted():
     assert np.isfinite(v)
     assert np.all(np.isfinite(np.asarray(g)))
     assert model.exact_maxcut() > 0
+
+
+def test_qft_matches_closed_form():
+    from dqc_tpu.models.qft import QFT
+    m = QFT(9, dtype=jnp.complex128)
+    for x in (0, 1, 137, 2**9 - 1):
+        got = np.asarray(m.apply_to_basis_state(x))
+        want = m.exact(x)
+        np.testing.assert_allclose(got, want, atol=1e-10)
