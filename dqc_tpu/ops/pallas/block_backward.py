@@ -1,0 +1,108 @@
+"""Pallas TPU kernel: one-pass blockwise adjoint step (lane group).
+
+The backward pass of a fused block does three big contractions (see
+circuit/fused_autograd.py): uncompute ``fwd_in = E^-1 fwd_out``, the
+pair-gram ``T0 = sum_b bwd[x,b] fwd_in[y,b]`` and cotangent transport
+``bwd' = E^T bwd`` — in XLA that is three separate complex matmuls, each
+streaming the statevector through HBM (~6 array passes). This kernel reads
+the (fwd, bwd) planes into VMEM once and produces all three outputs in a
+single pass (~4 array passes): per grid step, Karatsuba complex dots for the
+two applies plus a T0 partial accumulated across the sequential TPU grid.
+
+Lane-group (qubits 0..6) variant; the same structure generalizes per axis.
+Standalone building block for the round-2 plane-layout engine (see
+STATUS.md); tested in interpret mode, measured on v5e via /tmp-style
+microbenches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+HI = jax.lax.Precision.HIGHEST
+
+
+def _kernel(a_blk,
+            fr_ref, fi_ref, br_ref, bi_ref,
+            inv_t1, inv_t2, inv_t3,      # Karatsuba operands of E^-1 (transposed)
+            e_t1, e_t2, e_t3,            # Karatsuba operands of E (right-multiply)
+            fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+
+    fr = fr_ref[:].reshape(-1, 128)
+    fi = fi_ref[:].reshape(-1, 128)
+    br = br_ref[:].reshape(-1, 128)
+    bi = bi_ref[:].reshape(-1, 128)
+
+    # fwd_in = fwd_out @ Einv^T   (complex Karatsuba: 3 dots)
+    u1 = dot(fr + fi, inv_t1[:])
+    u2 = dot(fi, inv_t2[:])
+    u3 = dot(fr, inv_t3[:])
+    fir = u1 - u2
+    fii = u1 + u3
+    fir_ref[:] = fir.reshape(fir_ref.shape)
+    fii_ref[:] = fii.reshape(fii_ref.shape)
+
+    # bwd' = bwd @ E   (transport by E^T on the lane axis)
+    v1 = dot(br + bi, e_t1[:])
+    v2 = dot(bi, e_t2[:])
+    v3 = dot(br, e_t3[:])
+    bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape)
+    bni_ref[:] = (v1 + v3).reshape(bni_ref.shape)
+
+    # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram;
+    # direct 4-dot form: T0 is tiny, the extra dot is cheap)
+    t0r = dot(br.T, fir) - dot(bi.T, fii)
+    t0i = dot(br.T, fii) + dot(bi.T, fir)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        t0r_ref[:] = jnp.zeros_like(t0r_ref)
+        t0i_ref[:] = jnp.zeros_like(t0i_ref)
+
+    t0r_ref[:] += t0r
+    t0i_ref[:] += t0i
+
+
+@functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
+def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
+                        *, a_blk: int = 8, interpret: bool = False):
+    """One-pass adjoint step for a lane-group block.
+
+    Returns ``(fwd_in_r, fwd_in_i, bwd_new_r, bwd_new_i, T0_r, T0_i)`` where
+    ``fwd_in = E^-1 fwd_out``, ``bwd_new = E^T bwd`` and
+    ``T0[x, y] = sum_batch bwd[.., x] * fwd_in[.., y]``.
+    """
+    assert fr.ndim == 3 and fr.shape[1:] == (128, 128)
+    A = fr.shape[0]
+    if A % a_blk:
+        a_blk = 1
+    # right-multiply forms: apply(M) == x @ M^T; Karatsuba combinations
+    inv_t = einv_r.T, (einv_r + einv_i).T, (einv_i - einv_r).T
+    # transport: bwd' = bwd @ (E^T)^T = bwd @ E — combinations of E itself
+    e_t = e_r, e_r + e_i, e_i - e_r
+    bs = lambda i: (i, 0, 0)
+    es = lambda i: (0, 0)
+    kern = functools.partial(_kernel, a_blk)
+    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    small = jax.ShapeDtypeStruct((128, 128), F32)
+    return pl.pallas_call(
+        kern,
+        out_shape=(big, big, big, big, small, small),
+        grid=(A // a_blk,),
+        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
+                 + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(fr, fi, br, bi, *inv_t, *e_t)
