@@ -73,7 +73,7 @@ def _kernel(a_blk,
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
 def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, a_blk: int = 8, interpret: bool = False):
+                        *, a_blk: int = 4, interpret: bool = False):
     """One-pass adjoint step for a lane-group block.
 
     Returns ``(fwd_in_r, fwd_in_i, bwd_new_r, bwd_new_i, T0_r, T0_i)`` where
