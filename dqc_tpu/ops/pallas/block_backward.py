@@ -106,3 +106,80 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv_t, *e_t)
+
+
+def _kernel_sub(a_blk,
+                fr_ref, fi_ref, br_ref, bi_ref,
+                inv1, inv2, inv3,        # Karatsuba operands of E^-1 (left-mult)
+                e1, e2, e3,              # Karatsuba operands of E^T (left-mult)
+                fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+
+    t0r_acc = jnp.zeros((128, 128), F32)
+    t0i_acc = jnp.zeros((128, 128), F32)
+    for a in range(a_blk):
+        fr = fr_ref[a]
+        fi = fi_ref[a]
+        br = br_ref[a]
+        bi = bi_ref[a]
+        # fwd_in = Einv @ fwd_out (sublane axis = left matmul per slice)
+        u1 = dot(inv1[:], fr + fi)
+        u2 = dot(inv2[:], fi)
+        u3 = dot(inv3[:], fr)
+        fir = u1 - u2
+        fii = u1 + u3
+        fir_ref[a, :, :] = fir
+        fii_ref[a, :, :] = fii
+        # bwd' = E^T @ bwd
+        v1 = dot(e1[:], br + bi)
+        v2 = dot(e2[:], bi)
+        v3 = dot(e3[:], br)
+        bnr_ref[a, :, :] = v1 - v2
+        bni_ref[a, :, :] = v1 + v3
+        # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
+        t0r_acc += dot(br, fir.T) - dot(bi, fii.T)
+        t0i_acc += dot(br, fii.T) + dot(bi, fir.T)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        t0r_ref[:] = jnp.zeros_like(t0r_ref)
+        t0i_ref[:] = jnp.zeros_like(t0i_ref)
+
+    t0r_ref[:] += t0r_acc
+    t0i_ref[:] += t0i_acc
+
+
+@functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
+def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
+                           *, a_blk: int = 4, interpret: bool = False):
+    """One-pass adjoint step for a sublane-group (qubits 7..13) block.
+
+    Same contract as :func:`block_backward_lane` with the group operator on
+    the second-to-last axis: ``fwd_in = E^-1 fwd_out``, ``bwd' = E^T bwd``,
+    ``T0[x, y] = sum_batch bwd[.., x, c] fwd_in[.., y, c]``.
+    """
+    assert fr.ndim == 3 and fr.shape[1:] == (128, 128)
+    A = fr.shape[0]
+    if A % a_blk:
+        a_blk = 1
+    inv = einv_r, einv_r + einv_i, einv_i - einv_r
+    et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
+    bs = lambda i: (i, 0, 0)
+    es = lambda i: (0, 0)
+    kern = functools.partial(_kernel_sub, a_blk)
+    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    small = jax.ShapeDtypeStruct((128, 128), F32)
+    return pl.pallas_call(
+        kern,
+        out_shape=(big, big, big, big, small, small),
+        grid=(A // a_blk,),
+        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
+                 + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(fr, fi, br, bi, *inv, *et)

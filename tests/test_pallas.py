@@ -66,3 +66,36 @@ def test_block_backward_lane_matches_engine():
     np.testing.assert_allclose(got_bn.reshape(-1), np.asarray(want_bn).reshape(-1),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(got_t0, np.asarray(want_t0), rtol=2e-4, atol=2e-3)
+
+
+def test_block_backward_sublane_matches_engine():
+    from dqc_tpu.ops.pallas.block_backward import block_backward_sublane
+    n = 15
+    rng = np.random.default_rng(6)
+    fwd_out = oracles.random_state(rng, n).astype(np.complex64)
+    bwd = oracles.random_state(rng, n).astype(np.complex64)
+    E = oracles.random_unitary(rng, 7).astype(np.complex64)
+    Einv = np.linalg.inv(E).astype(np.complex64)
+
+    t_f = gr.to_grouped(jnp.asarray(fwd_out), n)
+    t_b = gr.to_grouped(jnp.asarray(bwd), n)
+    want_fi = gr.apply_group_matrix(t_f, jnp.asarray(Einv), 1)
+    want_bn = gr.apply_group_matrix(t_b, jnp.asarray(E).T, 1)
+    want_t0 = gr.group_pair_gram(want_fi, t_b, 1)
+
+    shape = (2, 128, 128)
+    fir, fii, bnr, bni, t0r, t0i = block_backward_sublane(
+        jnp.asarray(fwd_out.real.reshape(shape)), jnp.asarray(fwd_out.imag.reshape(shape)),
+        jnp.asarray(bwd.real.reshape(shape)), jnp.asarray(bwd.imag.reshape(shape)),
+        jnp.asarray(Einv.real), jnp.asarray(Einv.imag),
+        jnp.asarray(E.real), jnp.asarray(E.imag),
+        a_blk=2, interpret=True,
+    )
+    got_fi = np.asarray(fir) + 1j * np.asarray(fii)
+    got_bn = np.asarray(bnr) + 1j * np.asarray(bni)
+    got_t0 = np.asarray(t0r) + 1j * np.asarray(t0i)
+    np.testing.assert_allclose(got_fi.reshape(-1), np.asarray(want_fi).reshape(-1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(got_bn.reshape(-1), np.asarray(want_bn).reshape(-1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(got_t0, np.asarray(want_t0), rtol=2e-4, atol=2e-3)
