@@ -183,3 +183,79 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)
+
+
+def _kernel_high(x_dim,
+                 fr_ref, fi_ref, br_ref, bi_ref,
+                 inv1, inv2, inv3, e1, e2, e3,
+                 fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+
+    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
+    fr = fr_ref[0].reshape(x_dim, -1)
+    fi = fi_ref[0].reshape(x_dim, -1)
+    br = br_ref[0].reshape(x_dim, -1)
+    bi = bi_ref[0].reshape(x_dim, -1)
+
+    u1 = dot(inv1[:], fr + fi)
+    u2 = dot(inv2[:], fi)
+    u3 = dot(inv3[:], fr)
+    fir = u1 - u2
+    fii = u1 + u3
+    fir_ref[0] = fir.reshape(fir_ref.shape[1:])
+    fii_ref[0] = fii.reshape(fii_ref.shape[1:])
+
+    v1 = dot(e1[:], br + bi)
+    v2 = dot(e2[:], bi)
+    v3 = dot(e3[:], br)
+    bnr_ref[0] = (v1 - v2).reshape(bnr_ref.shape[1:])
+    bni_ref[0] = (v1 + v3).reshape(bni_ref.shape[1:])
+
+    t0r = dot(br, fir.T) - dot(bi, fii.T)
+    t0i = dot(br, fii.T) + dot(bi, fir.T)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        t0r_ref[:] = jnp.zeros_like(t0r_ref)
+        t0i_ref[:] = jnp.zeros_like(t0i_ref)
+
+    t0r_ref[:] += t0r
+    t0i_ref[:] += t0i
+
+
+@functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
+def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
+                        *, m_blk: int = 8, interpret: bool = False):
+    """One-pass adjoint step for a high-group block.
+
+    The state planes must be shaped ``(A1, X, M, 128)`` with ``X`` the
+    contracted group axis (its operator is ``X x X``, ``X <= 128``). Blocks
+    read the full ``X`` column per (a1, m-tile) grid cell.
+    """
+    assert fr.ndim == 4 and fr.shape[-1] == 128
+    A1, X, M, _ = fr.shape
+    assert M % m_blk == 0
+    inv = einv_r, einv_r + einv_i, einv_i - einv_r
+    et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
+    bs = lambda i, j: (i, 0, j, 0)
+    es = lambda i, j: (0, 0)
+    kern = functools.partial(_kernel_high, X)
+    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    small = jax.ShapeDtypeStruct((X, X), F32)
+    blk = (1, X, m_blk, 128)
+    return pl.pallas_call(
+        kern,
+        out_shape=(big, big, big, big, small, small),
+        grid=(A1, M // m_blk),
+        in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 4
+                 + (pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(fr, fi, br, bi, *inv, *et)

@@ -99,3 +99,36 @@ def test_block_backward_sublane_matches_engine():
     np.testing.assert_allclose(got_bn.reshape(-1), np.asarray(want_bn).reshape(-1),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(got_t0, np.asarray(want_t0), rtol=2e-4, atol=2e-3)
+
+
+def test_block_backward_high_matches_engine():
+    from dqc_tpu.ops.pallas.block_backward import block_backward_high
+    n = 16  # groups (7,7,2): dims (4,128,128); group 2 axis X=4 at the front
+    rng = np.random.default_rng(9)
+    fwd_out = oracles.random_state(rng, n).astype(np.complex64)
+    bwd = oracles.random_state(rng, n).astype(np.complex64)
+    E = oracles.random_unitary(rng, 2).astype(np.complex64)
+    Einv = np.linalg.inv(E).astype(np.complex64)
+
+    t_f = gr.to_grouped(jnp.asarray(fwd_out), n)
+    t_b = gr.to_grouped(jnp.asarray(bwd), n)
+    want_fi = gr.apply_group_matrix(t_f, jnp.asarray(Einv), 2)
+    want_bn = gr.apply_group_matrix(t_b, jnp.asarray(E).T, 2)
+    want_t0 = gr.group_pair_gram(want_fi, t_b, 2)
+
+    shape = (1, 4, 128, 128)  # (A1, X, M, 128)
+    fir, fii, bnr, bni, t0r, t0i = block_backward_high(
+        jnp.asarray(fwd_out.real.reshape(shape)), jnp.asarray(fwd_out.imag.reshape(shape)),
+        jnp.asarray(bwd.real.reshape(shape)), jnp.asarray(bwd.imag.reshape(shape)),
+        jnp.asarray(Einv.real), jnp.asarray(Einv.imag),
+        jnp.asarray(E.real), jnp.asarray(E.imag),
+        m_blk=8, interpret=True,
+    )
+    got_fi = np.asarray(fir) + 1j * np.asarray(fii)
+    got_bn = np.asarray(bnr) + 1j * np.asarray(bni)
+    got_t0 = np.asarray(t0r) + 1j * np.asarray(t0i)
+    np.testing.assert_allclose(got_fi.reshape(-1), np.asarray(want_fi).reshape(-1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(got_bn.reshape(-1), np.asarray(want_bn).reshape(-1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(got_t0, np.asarray(want_t0), rtol=2e-4, atol=2e-3)
