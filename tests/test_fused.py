@@ -165,3 +165,69 @@ def test_generic_kqubit_gate_and_density():
     psi = sv.apply_gate(jnp.asarray(c.initial_state()), g3, (5, 2, 0))
     want = sv.density(psi, (4, 1, 0))
     np.testing.assert_allclose(dens[0], want, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_circuit_property(seed):
+    """Property test: random tapes (random kinds, positions, queue mix) give
+    identical values and gradients on the fused and per-gate paths."""
+    from dqc_tpu import AutoGradCircuit
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(5, 10))
+    c = AutoGradCircuit(n, dtype=C128)
+    var_gates, const_gates = [], []
+
+    def rand_gate(k, unitary):
+        g = oracles.random_unitary(rng, k)
+        if not unitary:
+            g = g + 0.01 * oracles.random_gate(rng, k)
+        return jnp.asarray(g.reshape(-1), C128)
+
+    n_instr = int(rng.integers(15, 40))
+    n_diff = 0
+    for _ in range(n_instr):
+        kind = rng.integers(0, 4)
+        var = bool(rng.integers(0, 2))
+        if kind == 0:    # 1q dense
+            unitary = bool(rng.integers(0, 2))
+            pos = int(rng.integers(0, n))
+            c.add_gate((pos,), var=var, unitary=unitary)
+            (var_gates if var else const_gates).append(rand_gate(1, unitary))
+        elif kind == 1:  # 2q dense
+            unitary = bool(rng.integers(0, 2))
+            p = rng.choice(n, size=2, replace=False)
+            c.add_gate((int(p[0]), int(p[1])), var=var, unitary=unitary)
+            (var_gates if var else const_gates).append(rand_gate(2, unitary))
+        elif kind == 2:  # 2q diag
+            p = rng.choice(n, size=2, replace=False)
+            c.add_diag_gate((int(p[0]), int(p[1])), var=var)
+            d = jnp.asarray(np.exp(1j * rng.normal(size=4)), C128)
+            (var_gates if var else const_gates).append(d)
+        else:            # density
+            k = int(rng.integers(1, 3))
+            p = rng.choice(n, size=k, replace=False)
+            diff = bool(rng.integers(0, 2))
+            n_diff += int(diff)
+            c.get_dens_op(tuple(int(x) for x in p), with_grad=diff)
+    if n_diff == 0:
+        c.get_q1_dens_op_with_grad(0)
+
+    def loss_of(fused):
+        _, run = c.build(fused=fused)
+
+        def loss(vg):
+            dens = run(vg, tuple(const_gates))
+            return sum((1 - jnp.einsum("ij,ji->", d, d)).real for d in dens)
+        return loss
+
+    vg = tuple(var_gates)
+    if not vg:
+        v1 = loss_of(True)(vg)
+        v2 = loss_of(False)(vg)
+        np.testing.assert_allclose(v1, v2, rtol=1e-10)
+        return
+    v1, g1 = jax.value_and_grad(loss_of(True))(vg)
+    v2, g2 = jax.value_and_grad(loss_of(False))(vg)
+    np.testing.assert_allclose(v1, v2, rtol=1e-9)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
