@@ -39,6 +39,28 @@ def _find_library():
     return None
 
 
+def bind(path: str) -> ctypes.CDLL:
+    """Load + type a planner library from an explicit path (raises on
+    version/ABI mismatch). Used by load() and by the rebuild-from-source
+    parity test, which compiles a fresh .so and binds it directly."""
+    lib = ctypes.CDLL(path)
+    lib.dqc_fuse_tape.restype = ctypes.c_int32
+    lib.dqc_fuse_tape.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    lib.dqc_plan_distribution.restype = ctypes.c_int32
+    lib.dqc_plan_distribution.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.dqc_planner_version.restype = ctypes.c_int32
+    if lib.dqc_planner_version() != 1:
+        raise OSError(f"planner ABI version mismatch in {path}")
+    return lib
+
+
 def load() -> Optional[ctypes.CDLL]:
     """The native library, or None (cached)."""
     global _LIB, _TRIED
@@ -49,22 +71,7 @@ def load() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     try:
-        lib = ctypes.CDLL(path)
-        lib.dqc_fuse_tape.restype = ctypes.c_int32
-        lib.dqc_fuse_tape.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-        ]
-        lib.dqc_plan_distribution.restype = ctypes.c_int32
-        lib.dqc_plan_distribution.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.dqc_planner_version.restype = ctypes.c_int32
-        if lib.dqc_planner_version() != 1:
-            return None
-        _LIB = lib
+        _LIB = bind(path)
     except OSError:
         _LIB = None
     return _LIB

@@ -89,8 +89,25 @@ def _axis_of_group(ndim: int, j: int) -> int:
 # value: tracing must neither eagerly compute complex arrays on the device
 # (TPU backends cannot fetch them for constant embedding) nor re-embed one
 # identical constant per gate occurrence (measured 1 GB of MLIR for a 26q
-# circuit without deduplication).
-_EXPAND_CACHE: dict = {}
+# circuit without deduplication). The cache is LRU-bounded: entries are up to
+# 2^g x 2^g complex128 (256 KB at g=7), so 512 entries caps worst-case host
+# memory at ~128 MB while any realistic circuit's distinct constants fit.
+from collections import OrderedDict
+
+_EXPAND_CACHE: "OrderedDict" = OrderedDict()
+_EXPAND_CACHE_MAX = 512
+
+
+def _npy_value_of(x):
+    """The host-side numpy value a jax.Array was created from, if any.
+
+    ``jax.Array._npy_value`` is a private attribute (the donation-free cached
+    host buffer set when the array is built from numpy data); if a JAX
+    upgrade renames it, constant-gate detection must degrade *loudly* in CI
+    rather than silently disabling value-dedup — tests/test_groups.py::
+    test_constant_gate_detection_mechanism guards exactly that.
+    """
+    return getattr(x, "_npy_value", None)
 
 
 def concrete_or_none(x):
@@ -101,11 +118,21 @@ def concrete_or_none(x):
         return x
     if isinstance(x, (list, tuple, int, float, complex)):
         return np.asarray(x)
-    npy = getattr(x, "_npy_value", None)  # jax array created from host data
-    if npy is not None:
-        return np.asarray(npy)
     if isinstance(x, jax.Array):
-        return None  # device-computed: do not fetch
+        npy = _npy_value_of(x)
+        if npy is not None:
+            return np.asarray(npy)
+        # Fallback when the private attribute is unavailable: a concrete CPU
+        # array can always be fetched cheaply/safely. Device-computed arrays
+        # on accelerator backends are NOT fetched (remote TPU backends cannot
+        # fetch complex values, and a fetch would sync the stream).
+        try:
+            platforms = {d.platform for d in x.devices()}
+        except Exception:
+            return None
+        if platforms == {"cpu"}:
+            return np.asarray(x)
+        return None
     return np.asarray(x)
 
 
@@ -113,7 +140,11 @@ def _cached(key, build):
     hit = _EXPAND_CACHE.get(key)
     if hit is None:
         hit = build()
+        if len(_EXPAND_CACHE) >= _EXPAND_CACHE_MAX:
+            _EXPAND_CACHE.popitem(last=False)
         _EXPAND_CACHE[key] = hit
+    else:
+        _EXPAND_CACHE.move_to_end(key)
     return hit
 
 

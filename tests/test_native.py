@@ -53,10 +53,49 @@ def test_distribution_error_cases():
     assert native.plan_distribution_native(c.tape, 3) is None
 
 
-def test_native_build_from_source(tmp_path):
-    """The library rebuilds from a clean objdir with the checked-in Makefile."""
+def test_native_build_from_source(tmp_path, monkeypatch):
+    """A fresh compile of dqc_planner.cpp must match the Python planner —
+    a stale checked-in .so cannot mask source drift."""
+    import shutil
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        pytest.skip("no C++ compiler on PATH")
+    so = tmp_path / "libdqc_planner_fresh.so"
     r = subprocess.run(
-        ["make", "-C", "native", "-n"], capture_output=True, text=True,
-        cwd=__file__.rsplit("/tests/", 1)[0],
+        [cxx, "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
+         "-o", str(so), f"{repo}/native/dqc_planner.cpp"],
+        capture_output=True, text=True,
     )
-    assert r.returncode == 0
+    assert r.returncode == 0, r.stderr
+    fresh = native.bind(str(so))
+
+    # route the module-level cache through the fresh library and check parity
+    monkeypatch.setattr(native, "_LIB", fresh)
+    monkeypatch.setattr(native, "_TRIED", True)
+    tape = build_gauntlet(9, 2).tape
+    assert native.fuse_tape_native(tape, GROUP_BITS) == fuse_tape(tape)
+    c, _, _ = build_mixed_circuit(10)
+    assert (native.plan_distribution_native(c.tape, 3)
+            == plan_distribution(c.tape, 3))
+
+
+def test_native_unit_tests_build_and_pass(tmp_path):
+    """The C++ planner's own test binary (native/test_planner.cpp) compiles
+    from source and passes."""
+    import shutil
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        pytest.skip("no C++ compiler on PATH")
+    exe = tmp_path / "test_planner"
+    r = subprocess.run(
+        [cxx, "-O2", "-std=c++17", "-o", str(exe),
+         f"{repo}/native/test_planner.cpp", f"{repo}/native/dqc_planner.cpp"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([str(exe)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
