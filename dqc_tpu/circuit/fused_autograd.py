@@ -239,25 +239,8 @@ def _backward_gate_step(fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts)
         if fi.has_var and bwd is not None:
             tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
             W = gr.group_diag_gram(fwd, bwd, fi.group)
-            m = len(tables)
-            prefix = [None] * (m + 1)
-            prefix[0] = _host_ones(g, fwd.dtype)
-            for i in range(m):
-                prefix[i + 1] = prefix[i] * tables[i]
-            suffix = [None] * (m + 1)
-            suffix[m] = _host_ones(g, fwd.dtype)
-            for i in range(m - 1, -1, -1):
-                suffix[i] = suffix[i + 1] * tables[i]
-            for i, ref in enumerate(fi.gates):
-                if not ref.var:
-                    continue
-                full_ct = W * prefix[i] * suffix[i + 1]
-                gate = _astype_host(_ref_gate(ref, var_gates, const_gates), fwd.dtype)
-                _, vjp = jax.vjp(
-                    lambda dd, r=ref: gr._expand_diag_impl(jnp, dd, r.rel_positions, g),
-                    jnp.asarray(gate).reshape(-1),
-                )
-                var_cts[ref.queue_idx] = vjp(full_ct)[0]
+            diag_block_var_cts(fi, tables, W, var_gates, const_gates, g,
+                               fwd.dtype, var_cts)
         if bwd is not None:
             if tables is None:
                 tables = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
@@ -270,32 +253,70 @@ def _backward_gate_step(fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts)
     if fi.has_var and bwd is not None:
         ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
         T0 = gr.group_pair_gram(fwd, bwd, fi.group)
-        m = len(ops)
-        prefix = [None] * (m + 1)
-        prefix[0] = _host_eye(g, fwd.dtype)
-        for i in range(m):
-            prefix[i + 1] = ops[i] @ prefix[i]
-        # suffix[i] = E_{m-1} ... E_{i+1}  (operators applied after gate i)
-        suffix = [None] * m
-        suffix[m - 1] = _host_eye(g, fwd.dtype)
-        for i in range(m - 2, -1, -1):
-            suffix[i] = suffix[i + 1] @ ops[i + 1]
-        for i, ref in enumerate(fi.gates):
-            if not ref.var:
-                continue
-            full_ct = suffix[i].T @ T0 @ prefix[i].T
-            gate = _astype_host(_ref_gate(ref, var_gates, const_gates), fwd.dtype)
-            _, vjp = jax.vjp(
-                lambda x, r=ref: _ref_op(r, x.astype(fwd.dtype), g),
-                jnp.asarray(gate),
-            )
-            var_cts[ref.queue_idx] = vjp(full_ct)[0]
+        dense_block_var_cts(fi, ops, T0, var_gates, const_gates, g,
+                            fwd.dtype, var_cts)
     if bwd is not None:
         if ops is None:
             ops = _block_ops(fi, var_gates, const_gates, g, fwd.dtype)
         bwd = gr.apply_group_matrix(bwd, _compose(ops, diag=False).T, fi.group)
 
     return fwd, bwd
+
+
+def diag_block_var_cts(fi: FBlock, tables, W, var_gates, const_gates, g: int,
+                       dtype, var_cts) -> None:
+    """Close each var gate's cotangent of an all-diag block from the block
+    gradient source ``W[x] = sum_b bwd[x, b] fwd_in[x, b]`` — tiny 2^g-vector
+    algebra (prefix/suffix products of the other tables + the exact vjp of
+    the diagonal expansion). Shared by the complex and plane-layout engines."""
+    m = len(tables)
+    prefix = [None] * (m + 1)
+    prefix[0] = _host_ones(g, dtype)
+    for i in range(m):
+        prefix[i + 1] = prefix[i] * tables[i]
+    suffix = [None] * (m + 1)
+    suffix[m] = _host_ones(g, dtype)
+    for i in range(m - 1, -1, -1):
+        suffix[i] = suffix[i + 1] * tables[i]
+    for i, ref in enumerate(fi.gates):
+        if not ref.var:
+            continue
+        full_ct = W * prefix[i] * suffix[i + 1]
+        gate = _astype_host(_ref_gate(ref, var_gates, const_gates), dtype)
+        _, vjp = jax.vjp(
+            lambda dd, r=ref: gr._expand_diag_impl(jnp, dd, r.rel_positions, g),
+            jnp.asarray(gate).reshape(-1),
+        )
+        var_cts[ref.queue_idx] = vjp(full_ct)[0]
+
+
+def dense_block_var_cts(fi: FBlock, ops, T0, var_gates, const_gates, g: int,
+                        dtype, var_cts) -> None:
+    """Close each var gate's cotangent of a dense/mixed block from the pair
+    gram ``T0[x, y] = sum_b bwd[x, b] fwd_in[y, b]``: the full-group operator
+    cotangent of gate ``i`` is ``suffix_i^T T0 prefix_i^T`` (2^g x 2^g matrix
+    algebra), projected through the gate expansion's exact vjp. Shared by the
+    complex and plane-layout engines."""
+    m = len(ops)
+    prefix = [None] * (m + 1)
+    prefix[0] = _host_eye(g, dtype)
+    for i in range(m):
+        prefix[i + 1] = ops[i] @ prefix[i]
+    # suffix[i] = E_{m-1} ... E_{i+1}  (operators applied after gate i)
+    suffix = [None] * m
+    suffix[m - 1] = _host_eye(g, dtype)
+    for i in range(m - 2, -1, -1):
+        suffix[i] = suffix[i + 1] @ ops[i + 1]
+    for i, ref in enumerate(fi.gates):
+        if not ref.var:
+            continue
+        full_ct = suffix[i].T @ T0 @ prefix[i].T
+        gate = _astype_host(_ref_gate(ref, var_gates, const_gates), dtype)
+        _, vjp = jax.vjp(
+            lambda x, r=ref: _ref_op(r, x.astype(dtype), g),
+            jnp.asarray(gate),
+        )
+        var_cts[ref.queue_idx] = vjp(full_ct)[0]
 
 
 def _bwd(ftape: FusedTape, residuals, density_cts):

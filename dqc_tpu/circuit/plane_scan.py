@@ -1,0 +1,294 @@
+"""Plane-layout layer scan: the Pallas hot path of the engine.
+
+Same contract as :func:`dqc_tpu.circuit.scan.scanned_layers` (a gate-only
+fused layer applied L times under ``lax.scan``, O(1)-memory reverse-scan
+adjoint), but the state crosses the scan as two f32 planes (ops/planes.py)
+and every dense block executes as a fused Pallas kernel:
+
+* forward: blocks on the lane+sublane groups PAIR into one dual-group kernel
+  sweep (up to 14 qubits of gates per HBM pass, measured 1.7x the XLA
+  complex-einsum sweep on v5e); high-group blocks use the high-axis kernel;
+  diagonals (in-group and cross-group) are broadcast multiplies that XLA
+  fuses into neighbouring sweeps.
+* backward: each dense block's uncompute + pair-gram + cotangent transport
+  happens in ONE read of the (fwd, bwd) planes (block_backward kernels,
+  measured 2.5x the XLA 3-matmul sequence), after which per-gate cotangents
+  close in tiny 2^g matrix algebra (shared with circuit/fused_autograd.py).
+
+The reference executes one full complex sweep per gate and three per gate in
+backward (reference circuit.rs:214-429); this path replaces its entire
+custom-CUDA layer 1 (primitives.cu:513-876) with TPU-native kernels.
+
+Eligibility (checked statically by :func:`plane_tape_eligible`): >=14 qubits
+(both minor groups full), complex64, and no *dense* cross-group gates in the
+layer (diagonal crosses — the common entangler pattern — are native;
+a dense cross falls back to the complex engine).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqc_tpu import config
+from dqc_tpu.circuit.fused_autograd import (
+    GateRef,
+    _astype_host,
+    _block_ops,
+    _compose,
+    _inv_diag,
+    _ref_gate,
+    dense_block_var_cts,
+    diag_block_var_cts,
+)
+from dqc_tpu.circuit.fusion import FBlock, FCross, FDensity, FusedTape
+from dqc_tpu.ops import groups as gr
+from dqc_tpu.ops import planes as pl
+
+C64 = jnp.complex64
+
+
+def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
+    """True when the plane engine can execute this layer tape."""
+    if not pl.plane_eligible(ftape.n, dtype):
+        return False
+    for fi in ftape.instructions:
+        if isinstance(fi, FDensity):
+            return False  # layer tapes are gate-only; densities -> epilogue
+        if isinstance(fi, FCross) and not fi.diag:
+            return False  # dense cross-group gates: complex engine
+    return True
+
+
+def use_plane_engine(ftape: FusedTape, dtype) -> bool:
+    mode = config.plane_engine()
+    if mode is False:
+        return False
+    if not plane_tape_eligible(ftape, dtype):
+        return False
+    if mode is True:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Instruction scheduling: pair lane/sublane dense blocks into dual sweeps
+# ---------------------------------------------------------------------------
+
+def _touched_groups(fi, n: int) -> set:
+    if isinstance(fi, FBlock):
+        return {fi.group}
+    if isinstance(fi, FCross):
+        return {gr.group_of_bit(n, p)[0] for p in fi.positions}
+    return set(range(len(gr.group_sizes_low_first(n))))  # density: all
+
+
+def _is_dense_minor_block(fi) -> bool:
+    return isinstance(fi, FBlock) and fi.group in (0, 1) and not fi.all_diag
+
+
+def schedule_dual_pairs(ftape: FusedTape) -> Tuple[Tuple[int, Optional[int]], ...]:
+    """Execution order with lane/sublane dense blocks paired.
+
+    Returns a tuple of ``(index, partner_index_or_None)``: when a dense block
+    on group 0 (or 1) is followed — with no intervening instruction touching
+    groups 0 or 1 — by a dense block on the other minor group, both apply in
+    ONE dual kernel sweep. Instructions between the pair act on disjoint
+    qubits, so hoisting the partner is exact.
+    """
+    instrs = ftape.instructions
+    n = ftape.n
+    consumed = [False] * len(instrs)
+    out: List[Tuple[int, Optional[int]]] = []
+    for i, fi in enumerate(instrs):
+        if consumed[i]:
+            continue
+        partner = None
+        if _is_dense_minor_block(fi):
+            want = 1 - fi.group
+            for j in range(i + 1, len(instrs)):
+                fj = instrs[j]
+                if consumed[j]:
+                    continue
+                if _is_dense_minor_block(fj) and fj.group == want:
+                    partner = j
+                    consumed[j] = True
+                    break
+                if _touched_groups(fj, n) & {0, 1}:
+                    break
+        out.append((i, partner))
+        consumed[i] = True
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Per-instruction plane execution
+# ---------------------------------------------------------------------------
+
+def _block_operator(fi: FBlock, var_gates, const_gates, g: int, *,
+                    inverse: bool = False, reverse: bool = False):
+    ops = _block_ops(fi, var_gates, const_gates, g, C64, inverse=inverse)
+    return _compose(ops, diag=fi.all_diag, reverse=reverse)
+
+
+def _cross_gate(fi: FCross, var_gates, const_gates):
+    return _astype_host(
+        _ref_gate(GateRef(fi.var, fi.queue_idx, (), fi.diag, fi.unitary),
+                  var_gates, const_gates),
+        C64,
+    )
+
+
+def _apply_forward(xr, xi, idx_pairs, ftape, var_gates, const_gates):
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+    for i, j in idx_pairs:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FCross):
+            table2, ja, jb = gr.cross_diag_table(
+                _cross_gate(fi, var_gates, const_gates).reshape(-1),
+                fi.positions, n)
+            xr, xi = pl.apply_cross_diag(xr, xi, table2, ja, jb, n)
+            continue
+        assert isinstance(fi, FBlock)
+        if fi.all_diag:
+            table = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+            xr, xi = pl.apply_diag_axis(xr, xi, table, fi.group, n)
+            continue
+        E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+        if j is not None:
+            fj = ftape.instructions[j]
+            Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
+            E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
+            xr, xi = pl.apply_dual(xr, xi, E0, E1, interpret=interp)
+        else:
+            xr, xi = pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
+    return xr, xi
+
+
+def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
+                   var_cts: Dict[int, jax.Array]):
+    """Roll (fwd, bwd) planes back through one instruction, recording var
+    cotangents — the plane mirror of fused_autograd._backward_gate_step."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+
+    if isinstance(fi, FCross):
+        d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+        inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary), fi.positions, n)
+        fxr, fxi = pl.apply_cross_diag(fxr, fxi, inv_t2, ja, jb, n)
+        if fi.var:
+            W2 = pl.cross_diag_gram(fxr, fxi, bxr, bxi, ja, jb, n)
+            _, vjp = jax.vjp(
+                lambda dd: gr.cross_diag_table(dd, fi.positions, n)[0],
+                jnp.asarray(d).astype(C64),
+            )
+            var_cts[fi.queue_idx] = vjp(W2.astype(C64))[0]
+        t2, _, _ = gr.cross_diag_table(d, fi.positions, n)
+        bxr, bxi = pl.apply_cross_diag(bxr, bxi, t2, ja, jb, n)
+        return fxr, fxi, bxr, bxi
+
+    assert isinstance(fi, FBlock)
+    g = sizes[fi.group]
+    if fi.all_diag:
+        inv_table = _block_operator(fi, var_gates, const_gates, g, inverse=True)
+        fxr, fxi = pl.apply_diag_axis(fxr, fxi, inv_table, fi.group, n)
+        tables = _block_ops(fi, var_gates, const_gates, g, C64)
+        if fi.has_var:
+            W = pl.diag_gram_axis(fxr, fxi, bxr, bxi, fi.group, n).astype(C64)
+            diag_block_var_cts(fi, tables, W, var_gates, const_gates, g, C64, var_cts)
+        bxr, bxi = pl.apply_diag_axis(
+            bxr, bxi, _compose(tables, diag=True), fi.group, n)
+        return fxr, fxi, bxr, bxi
+
+    Einv = _block_operator(fi, var_gates, const_gates, g, inverse=True, reverse=True)
+    E = _block_operator(fi, var_gates, const_gates, g)
+    fxr, fxi, bxr_n, bxi_n, T0 = pl.backward_block(
+        fxr, fxi, bxr, bxi, Einv, E, fi.group, n, interpret=interp)
+    if fi.has_var:
+        ops = _block_ops(fi, var_gates, const_gates, g, C64)
+        dense_block_var_cts(fi, ops, T0.astype(C64), var_gates, const_gates,
+                            g, C64, var_cts)
+    return fxr, fxi, bxr_n, bxi_n
+
+
+# ---------------------------------------------------------------------------
+# The scanned-layers custom_vjp
+# ---------------------------------------------------------------------------
+
+import os
+_SCAN_UNROLL = int(os.environ.get("DQC_SCAN_UNROLL", "1"))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
+                         const_gates):
+    """Apply the layer L times on plane-layout state; returns the final flat
+    complex statevector. Contract identical to scan.scanned_layers."""
+    n = ftape.n
+    pairs = schedule_dual_pairs(ftape)
+
+    def body(carry, layer_gates):
+        xr, xi = carry
+        xr, xi = _apply_forward(xr, xi, pairs, ftape, layer_gates, const_gates)
+        return (xr, xi), None
+
+    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
+                               unroll=_SCAN_UNROLL)
+    return pl.from_planes(xr, xi, n)
+
+
+def _fwd(ftape, initial_state, stacked_var_gates, const_gates):
+    final = plane_scanned_layers(ftape, initial_state, stacked_var_gates,
+                                 const_gates)
+    return final, (final, initial_state, stacked_var_gates, const_gates)
+
+
+def _bwd(ftape, residuals, ct):
+    final, initial_state, stacked_var_gates, const_gates = residuals
+    n = ftape.n
+    rev_instrs = tuple(reversed(ftape.instructions))
+
+    def body(carry, layer_gates):
+        fxr, fxi, bxr, bxi = carry
+        var_cts: Dict[int, jax.Array] = {}
+        for fi in rev_instrs:
+            fxr, fxi, bxr, bxi = _backward_step(
+                fxr, fxi, bxr, bxi, fi, ftape, layer_gates, const_gates, var_cts)
+        layer_cts = tuple(
+            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
+        )
+        return (fxr, fxi, bxr, bxi), layer_cts
+
+    fxr, fxi = pl.to_planes(jnp.asarray(final), n)
+    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n)
+    (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
+        reverse=True, unroll=_SCAN_UNROLL,
+    )
+    init_ref = jnp.asarray(initial_state)
+    state_ct = pl.from_planes(bxr, bxi, n).astype(init_ref.dtype)
+    const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+    return state_ct, stacked_cts, const_cts
+
+
+def _match_ct(ct, ref):
+    ref = jnp.asarray(ref)
+    ct = ct.reshape(ref.shape)
+    if jnp.issubdtype(ref.dtype, jnp.complexfloating):
+        return ct.astype(ref.dtype)
+    return ct.real.astype(ref.dtype)
+
+
+plane_scanned_layers.defvjp(_fwd, _bwd)

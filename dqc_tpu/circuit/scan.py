@@ -49,12 +49,27 @@ import os
 _SCAN_UNROLL = int(os.environ.get("DQC_SCAN_UNROLL", "1"))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
 def scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates, const_gates):
     """Apply the layer ``L`` times: leaves of ``stacked_var_gates`` carry a
     leading layer axis; ``const_gates`` are shared by every layer. Returns
-    the final statevector (flat). DQC_SCAN_UNROLL unrolls the scan body
-    (compile-size/time tradeoff)."""
+    the final statevector (flat).
+
+    Dispatches to the plane-layout Pallas engine (circuit/plane_scan.py) when
+    eligible — >=14 qubits, complex64, no dense cross-group gates; see
+    ``config.set_plane_engine`` — else runs the complex XLA path below.
+    """
+    from dqc_tpu.circuit import plane_scan
+
+    if plane_scan.use_plane_engine(ftape, jnp.asarray(initial_state).dtype):
+        return plane_scan.plane_scanned_layers(
+            ftape, initial_state, stacked_var_gates, const_gates)
+    return _scanned_layers_xla(ftape, initial_state, stacked_var_gates, const_gates)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _scanned_layers_xla(ftape: FusedTape, initial_state, stacked_var_gates, const_gates):
+    """Complex-einsum scan path (every backend/dtype/tape shape).
+    DQC_SCAN_UNROLL unrolls the scan body (compile-size/time tradeoff)."""
     def body(state, layer_gates):
         _, state = fused_run(ftape, state, layer_gates, const_gates)
         return state, None
@@ -65,7 +80,7 @@ def scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates, const_gat
 
 
 def _fwd(ftape, initial_state, stacked_var_gates, const_gates):
-    final = scanned_layers(ftape, initial_state, stacked_var_gates, const_gates)
+    final = _scanned_layers_xla(ftape, initial_state, stacked_var_gates, const_gates)
     return final, (final, initial_state, stacked_var_gates, const_gates)
 
 
@@ -109,4 +124,4 @@ def _match_ct(ct, ref):
     return ct.real.astype(ref.dtype)
 
 
-scanned_layers.defvjp(_fwd, _bwd)
+_scanned_layers_xla.defvjp(_fwd, _bwd)

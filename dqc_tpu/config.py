@@ -56,6 +56,31 @@ def default_fusion() -> bool:
     return _FUSION
 
 
+# Plane-layout Pallas engine (circuit/plane_scan.py): inside layer scans the
+# complex64 state lives as two f32 planes and gate blocks execute as fused
+# Pallas kernels (one HBM pass per dual-group block; one-pass blockwise
+# adjoint). "auto" = on for TPU backends when the layer tape is eligible;
+# True forces it everywhere (CPU runs kernels in interpret mode — slow, for
+# tests); False disables.
+import os as _os
+
+_PLANE_ENGINE = _os.environ.get("DQC_PLANE_ENGINE", "auto")
+if _PLANE_ENGINE not in ("auto",):
+    _PLANE_ENGINE = _PLANE_ENGINE not in ("0", "false", "False")
+
+
+def set_plane_engine(mode) -> None:
+    """Plane-engine mode: True / False / 'auto'."""
+    global _PLANE_ENGINE
+    if mode not in (True, False, "auto"):
+        raise ValueError("plane engine mode must be True, False or 'auto'")
+    _PLANE_ENGINE = mode
+
+
+def plane_engine():
+    return _PLANE_ENGINE
+
+
 def set_default_complex(dtype) -> None:
     """Set the process-wide default complex dtype (complex64 or complex128)."""
     global _DEFAULT_COMPLEX

@@ -310,22 +310,37 @@ def apply_diag(t: jax.Array, diag: jax.Array, positions: Sequence[int], n: int) 
         rels = tuple(p % GROUP_BITS for p in positions)
         return apply_group_diag(t, expand_diag_in_group(diag, rels, sizes[j]), j)
     if len(by_group) == 2:
-        (ja, ia), (jb, ib) = sorted(by_group.items(), key=lambda kv: -kv[0])
-        # joint table over a virtual register [bits of ja cluster, bits of jb cluster]
-        k = len(positions)
-        d = diag.reshape((2,) * k)
-        order = ia + ib  # axes of d: ja-cluster positions then jb-cluster
-        d = d.transpose(order)
-        ka, kb = len(ia), len(ib)
-        d2 = d.reshape(1 << ka, 1 << kb)
-        rels_a = tuple(positions[i] % GROUP_BITS for i in ia)
-        rels_b = tuple(positions[i] % GROUP_BITS for i in ib)
-        # table2[A, B] = d2[bits_a(A), bits_b(B)]: static selector gather
-        ea = _selector_matrix(rels_a, sizes[ja])  # (2^ga,) packed target bits
-        eb = _selector_matrix(rels_b, sizes[jb])
-        table2 = d2[ea[:, None], eb[None, :]]
+        table2, ja, jb = cross_diag_table(diag, positions, n)
         return apply_cross_diag(t, table2, ja, jb)
     raise NotImplementedError("diagonal spanning >2 groups: apply as two diagonals")
+
+
+def cross_diag_table(diag, positions: Sequence[int], n: int):
+    """Joint full-group table of a diagonal spanning exactly two groups:
+    ``(table2, ja, jb)`` with ``table2[A, B]`` the diagonal entry for
+    full-group indices A (group ja, the higher group) and B (group jb)."""
+    positions = tuple(int(p) for p in positions)
+    diag = diag.reshape(-1)  # numpy stays numpy (constants), tracers stay traced
+    sizes = group_sizes_low_first(n)
+    by_group: Dict[int, List[int]] = {}
+    for i, p in enumerate(positions):
+        by_group.setdefault(group_of_bit(n, p)[0], []).append(i)
+    assert len(by_group) == 2
+    (ja, ia), (jb, ib) = sorted(by_group.items(), key=lambda kv: -kv[0])
+    # joint table over a virtual register [bits of ja cluster, bits of jb cluster]
+    k = len(positions)
+    d = diag.reshape((2,) * k)
+    order = ia + ib  # axes of d: ja-cluster positions then jb-cluster
+    d = d.transpose(order)
+    ka, kb = len(ia), len(ib)
+    d2 = d.reshape(1 << ka, 1 << kb)
+    rels_a = tuple(positions[i] % GROUP_BITS for i in ia)
+    rels_b = tuple(positions[i] % GROUP_BITS for i in ib)
+    # table2[A, B] = d2[bits_a(A), bits_b(B)]: static selector gather
+    ea = _selector_matrix(rels_a, sizes[ja])  # (2^ga,) packed target bits
+    eb = _selector_matrix(rels_b, sizes[jb])
+    table2 = d2[ea[:, None], eb[None, :]]
+    return table2, ja, jb
 
 
 @lru_cache(maxsize=None)

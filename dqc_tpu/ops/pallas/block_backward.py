@@ -228,7 +228,7 @@ def _kernel_high(x_dim,
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, m_blk: int = 8, interpret: bool = False):
+                        *, m_blk: int = 4, interpret: bool = False):
     """One-pass adjoint step for a high-group block.
 
     The state planes must be shaped ``(A1, X, M, 128)`` with ``X`` the

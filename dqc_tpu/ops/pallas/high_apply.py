@@ -1,0 +1,70 @@
+"""Pallas TPU kernel: full-group operator apply on a high group axis.
+
+Companion to :mod:`dqc_tpu.ops.pallas.dual_apply` (which covers the lane and
+sublane groups, qubits 0..13): for a group ``j >= 2`` the plane-layout state
+``(A, 128, 128)`` is viewed as ``(A1, X, M, 128)`` with ``X = 2^g`` the
+contracted group axis, and each grid cell reads a full ``X`` column into VMEM
+and hits it with one complex (Karatsuba, 3 real dots) matmul ``y = E @ x``.
+
+This is the forward half of ``block_backward_high``; same layout contract.
+Replaces the reference's per-gate bit-strided sweep (reference
+primitives.cu:513-620) for gates fused on high qubit groups.
+
+Works under ``interpret=True`` on CPU for testing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+HI = jax.lax.Precision.HIGHEST
+
+
+def _kernel(x_dim, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+
+    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
+    xr = xr_ref[0].reshape(x_dim, -1)
+    xi = xi_ref[0].reshape(x_dim, -1)
+    t1 = dot(e1[:], xr + xi)
+    t2 = dot(e2[:], xi)
+    t3 = dot(e3[:], xr)
+    yr_ref[0] = (t1 - t2).reshape(yr_ref.shape[1:])
+    yi_ref[0] = (t1 + t3).reshape(yi_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
+def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
+                            interpret: bool = False):
+    """Apply the complex operator ``e_r + i e_i`` (``X x X``) to the second
+    axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass."""
+    assert xr.ndim == 4 and xr.shape[-1] == 128
+    A1, X, M, _ = xr.shape
+    if M % m_blk:
+        m_blk = 1
+    # Karatsuba combination operands (tiny, host/trace-side)
+    e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
+    bs = lambda i, j: (i, 0, j, 0)
+    es = lambda i, j: (0, 0)
+    kern = functools.partial(_kernel, X)
+    blk = (1, X, m_blk, 128)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
+                   jax.ShapeDtypeStruct(xr.shape, F32)),
+        grid=(A1, M // m_blk),
+        in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xr, xi, e1, e2, e3)

@@ -1,0 +1,284 @@
+"""Plane-layout statevector ops: complex64 state as two f32 planes.
+
+The Pallas TPU kernels (ops/pallas/) cannot take complex refs (Mosaic
+limitation), and extracting real/imag planes per call would cost the very
+HBM sweeps the kernels save. So inside the scan hot path
+(circuit/plane_scan.py) the state *lives* as a pair of float32 planes
+
+    ``(xr, xi)``, each of shape ``(A, 128, 128)``, ``A = 2^(n-14)``,
+
+i.e. the canonical grouped view (ops/groups.py: lane group = qubits 0..6 on
+the last axis, sublane group = 7..13 on the middle axis, all higher groups
+merged msb-first into the leading axis). Conversion happens once at scan
+entry/exit.
+
+Op mapping (one HBM pass each):
+* dense block on groups 0+1   -> dual-group Pallas kernel (Karatsuba matmuls)
+* dense block on group j >= 2 -> high-axis Pallas kernel (or a real-pair XLA
+  einsum for tiny top groups)
+* any diagonal (in-group or cross-group) -> broadcast real-pair elementwise
+  multiply (XLA fuses adjacent diagonals into one sweep)
+* blockwise adjoint step      -> one-pass block_backward kernels: uncompute
+  + pair-gram + cotangent transport in a single read of (fwd, bwd)
+  (the reference needs three separate sweeps per *gate*, circuit.rs:266-429)
+
+Everything here is jit-traceable; kernels run under ``interpret=True`` on
+CPU for tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqc_tpu.ops import groups as gr
+from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
+from dqc_tpu.ops.pallas.high_apply import high_group_apply_planes
+from dqc_tpu.ops.pallas.block_backward import (
+    block_backward_high,
+    block_backward_lane,
+    block_backward_sublane,
+)
+
+F32 = jnp.float32
+
+# a high-group Pallas kernel needs a Mosaic-tileable operator; smaller top
+# groups fall back to a real-pair XLA einsum (still on planes, no conversion)
+MIN_KERNEL_X = 8
+
+
+def plane_eligible(n: int, dtype) -> bool:
+    """Plane layout requires both minor groups full (n >= 14) and f32."""
+    return n >= 14 and jnp.dtype(dtype) == jnp.dtype(jnp.complex64)
+
+
+def plane_shape(n: int) -> Tuple[int, int, int]:
+    return (1 << (n - 14), 128, 128)
+
+
+def to_planes(state: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
+    """Flat or grouped complex state -> (xr, xi) f32 planes."""
+    t = jnp.asarray(state).reshape(plane_shape(n))
+    return t.real.astype(F32), t.imag.astype(F32)
+
+
+def from_planes(xr: jax.Array, xi: jax.Array, n: int, dtype=jnp.complex64) -> jax.Array:
+    """(xr, xi) planes -> flat complex state."""
+    return (xr + 1j * xi).reshape(-1).astype(dtype)
+
+
+def op_planes(E) -> Tuple[jax.Array, jax.Array]:
+    """Complex operator -> (real, imag) f32 parts (host numpy for constants
+    so identical block operators embed once)."""
+    c = gr.concrete_or_none(E)
+    if c is not None:
+        key = ("P", c.tobytes(), c.dtype.str, c.shape)
+        return gr._cached(key, lambda: (
+            np.ascontiguousarray(c.real.astype(np.float32)),
+            np.ascontiguousarray(c.imag.astype(np.float32)),
+        ))
+    E = jnp.asarray(E)
+    return E.real.astype(F32), E.imag.astype(F32)
+
+
+def _table_planes(table) -> Tuple[jax.Array, jax.Array]:
+    c = gr.concrete_or_none(table)
+    if c is not None:
+        key = ("PT", c.tobytes(), c.dtype.str, c.shape)
+        return gr._cached(key, lambda: (
+            np.ascontiguousarray(c.real.astype(np.float32)),
+            np.ascontiguousarray(c.imag.astype(np.float32)),
+        ))
+    t = jnp.asarray(table)
+    return t.real.astype(F32), t.imag.astype(F32)
+
+
+# ---------------------------------------------------------------------------
+# High-group axis views
+# ---------------------------------------------------------------------------
+
+def _high_view(n: int, j: int) -> Tuple[int, int, int]:
+    """(pre, X, M) such that planes.reshape(pre, X, M, 128) puts group ``j``'s
+    bits on axis 1 (j >= 2; M merges lower high groups with the sublane
+    axis)."""
+    dims = gr.group_dims(n)  # msb-first
+    G = len(dims)
+    ax = G - 1 - j  # axis of group j in the grouped view
+    pre = int(np.prod(dims[:ax], dtype=np.int64)) if ax > 0 else 1
+    X = dims[ax]
+    post = int(np.prod(dims[ax + 1:G - 2], dtype=np.int64)) if ax + 1 <= G - 3 else 1
+    return pre, X, post * 128
+
+
+# ---------------------------------------------------------------------------
+# Dense applies
+# ---------------------------------------------------------------------------
+
+def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
+               *, interpret: bool = False):
+    """One HBM pass applying lane-group operator ``E0`` and sublane-group
+    operator ``E1`` (either may be None = identity; both 128x128 complex)."""
+    eye = np.eye(128, dtype=np.float32)
+    zr = np.zeros((128, 128), dtype=np.float32)
+    e0r, e0i = op_planes(E0) if E0 is not None else (eye, zr)
+    e1r, e1i = op_planes(E1) if E1 is not None else (eye, zr)
+    return dual_group_apply_planes(xr, xi, e0r, e0i, e1r, e1i,
+                                   interpret=interpret)
+
+
+def apply_high(xr, xi, E, j: int, n: int, *, interpret: bool = False):
+    """Dense full-group operator on high group ``j >= 2`` (one pass)."""
+    pre, X, M = _high_view(n, j)
+    er, ei = op_planes(E)
+    vxr = xr.reshape(pre, X, M, 128)
+    vxi = xi.reshape(pre, X, M, 128)
+    if X >= MIN_KERNEL_X:
+        yr, yi = high_group_apply_planes(vxr, vxi, er, ei, interpret=interpret)
+    else:
+        # tiny top group: real-pair einsum (Karatsuba, 3 contractions)
+        e1, e2, e3 = er, er + ei, ei - er
+        hi = jax.lax.Precision.HIGHEST
+        t1 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e1), vxr + vxi, precision=hi)
+        t2 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e2), vxi, precision=hi)
+        t3 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e3), vxr, precision=hi)
+        yr, yi = t1 - t2, t1 + t3
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def apply_block(xr, xi, E, j: int, n: int, *, interpret: bool = False):
+    """Dense full-group operator on any group axis."""
+    if j == 0:
+        return apply_dual(xr, xi, E, None, interpret=interpret)
+    if j == 1:
+        return apply_dual(xr, xi, None, E, interpret=interpret)
+    return apply_high(xr, xi, E, j, n, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Diagonals (pure XLA elementwise; adjacent diagonals fuse into one sweep)
+# ---------------------------------------------------------------------------
+
+def _bshape(n: int, j: int) -> Tuple[int, ...]:
+    dims = gr.group_dims(n)
+    shape = [1] * len(dims)
+    shape[len(dims) - 1 - j] = dims[len(dims) - 1 - j]
+    return tuple(shape)
+
+
+def _cmul(xr, xi, dr, di):
+    return xr * dr - xi * di, xr * di + xi * dr
+
+
+def apply_diag_axis(xr, xi, table, j: int, n: int):
+    """Full-group diagonal table on group ``j`` (broadcast multiply)."""
+    dims = gr.group_dims(n)
+    tr, ti = _table_planes(table)
+    shape = _bshape(n, j)
+    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
+                   jnp.asarray(tr).reshape(shape), jnp.asarray(ti).reshape(shape))
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
+    """Joint diagonal over two group axes; ``table2``: (dim_j2, dim_j1)."""
+    dims = gr.group_dims(n)
+    G = len(dims)
+    a2, a1 = G - 1 - j2, G - 1 - j1
+    tr, ti = _table_planes(table2)
+    tr, ti = jnp.asarray(tr), jnp.asarray(ti)
+    if a2 > a1:
+        tr, ti = tr.T, ti.T
+        a2, a1 = a1, a2
+    shape = [1] * G
+    shape[a2] = dims[a2]
+    shape[a1] = dims[a1]
+    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
+                   tr.reshape(shape), ti.reshape(shape))
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+# ---------------------------------------------------------------------------
+# Reductions (backward diagonals)
+# ---------------------------------------------------------------------------
+
+def diag_gram_axis(fxr, fxi, bxr, bxi, j: int, n: int) -> jax.Array:
+    """Complex ``W[x] = sum_b bwd[x, b] fwd[x, b]`` over group axis ``j``
+    (the all-diag block gradient source, groups.group_diag_gram)."""
+    dims = gr.group_dims(n)
+    ax = len(dims) - 1 - j
+    fr, fi = fxr.reshape(dims), fxi.reshape(dims)
+    br, bi = bxr.reshape(dims), bxi.reshape(dims)
+    axes = tuple(a for a in range(len(dims)) if a != ax)
+    wr = jnp.sum(br * fr - bi * fi, axis=axes)
+    wi = jnp.sum(br * fi + bi * fr, axis=axes)
+    return wr + 1j * wi
+
+
+def cross_diag_gram(fxr, fxi, bxr, bxi, j2: int, j1: int, n: int) -> jax.Array:
+    """Complex ``W2[x2, x1] = sum_b bwd * fwd`` over the two group axes of a
+    cross diagonal (its joint-table cotangent)."""
+    dims = gr.group_dims(n)
+    G = len(dims)
+    a2, a1 = G - 1 - j2, G - 1 - j1
+    fr, fi = fxr.reshape(dims), fxi.reshape(dims)
+    br, bi = bxr.reshape(dims), bxi.reshape(dims)
+    axes = tuple(a for a in range(G) if a not in (a2, a1))
+    wr = jnp.sum(br * fr - bi * fi, axis=axes)
+    wi = jnp.sum(br * fi + bi * fr, axis=axes)
+    W = wr + 1j * wi  # axes ordered (min(a2,a1), max(a2,a1)) = (a2', a1')
+    if a2 > a1:
+        W = W.T
+    return W  # (dim_j2, dim_j1)
+
+
+# ---------------------------------------------------------------------------
+# One-pass blockwise adjoint step
+# ---------------------------------------------------------------------------
+
+def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
+                   *, interpret: bool = False):
+    """Uncompute + pair-gram + cotangent transport for one dense block, in a
+    single read of the (fwd, bwd) planes:
+
+    ``fwd_in = Einv fwd_out``, ``bwd' = E^T bwd``,
+    ``T0[x, y] = sum_b bwd[x, b] fwd_in[y, b]`` (complex, returned dense).
+
+    Returns ``(fxr', fxi', bxr', bxi', T0)``.
+    """
+    einv_r, einv_i = op_planes(Einv)
+    e_r, e_i = op_planes(E)
+    if j == 0:
+        fr, fi, br, bi, t0r, t0i = block_backward_lane(
+            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, interpret=interpret)
+        return fr, fi, br, bi, t0r + 1j * t0i
+    if j == 1:
+        fr, fi, br, bi, t0r, t0i = block_backward_sublane(
+            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, interpret=interpret)
+        return fr, fi, br, bi, t0r + 1j * t0i
+    pre, X, M = _high_view(n, j)
+    shape4 = (pre, X, M, 128)
+    if X >= MIN_KERNEL_X:
+        fr, fi, br, bi, t0r, t0i = block_backward_high(
+            fxr.reshape(shape4), fxi.reshape(shape4),
+            bxr.reshape(shape4), bxi.reshape(shape4),
+            einv_r, einv_i, e_r, e_i, interpret=interpret)
+        return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+                br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
+    # tiny top group: three real-pair einsum passes (XLA)
+    fr, fi = apply_high(fxr, fxi, Einv, j, n, interpret=interpret)
+    hi = jax.lax.Precision.HIGHEST
+    vfr = fr.reshape(shape4)
+    vfi = fi.reshape(shape4)
+    vbr = bxr.reshape(shape4)
+    vbi = bxi.reshape(shape4)
+    t0r = (jnp.einsum("pxmc,pymc->xy", vbr, vfr, precision=hi)
+           - jnp.einsum("pxmc,pymc->xy", vbi, vfi, precision=hi))
+    t0i = (jnp.einsum("pxmc,pymc->xy", vbr, vfi, precision=hi)
+           + jnp.einsum("pxmc,pymc->xy", vbi, vfr, precision=hi))
+    ETr, ETi = op_planes(E)
+    ET = (jnp.asarray(ETr) + 1j * jnp.asarray(ETi)).T
+    br, bi = apply_high(bxr, bxi, ET, j, n, interpret=interpret)
+    return fr, fi, br, bi, t0r + 1j * t0i

@@ -279,6 +279,7 @@ def test_initial_state_gradient():
     )
 
 
+@pytest.mark.slow
 def test_finite_difference_gauntlet_full_scale():
     """The reference's gauntlet at its original scale: 15 qubits, 10 layers,
     every instruction kind (reference src/test_autodiff.py:12-14)."""

@@ -167,7 +167,10 @@ def test_generic_kqubit_gate_and_density():
     np.testing.assert_allclose(dens[0], want, rtol=1e-10, atol=1e-12)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+# seeds 2-3 draw the deepest random tapes (~30-45 s each): slow-marked
+@pytest.mark.parametrize("seed", [0, 1,
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow)])
 def test_random_circuit_property(seed):
     """Property test: random tapes (random kinds, positions, queue mix) give
     identical values and gradients on the fused and per-gate paths."""

@@ -3,6 +3,7 @@ example contract, example_vqse_ising.py:127-131) and the hardware-efficient
 ansatz loss/grad path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -12,6 +13,7 @@ from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 from dqc_tpu.parallel import make_mesh
 
 
+@pytest.mark.slow
 def test_vqe_ising_converges():
     model = VQEIsing(qubits_number=6, layers_number=6, dtype=jnp.complex128)
     params = model.init_params(jax.random.PRNGKey(42))
@@ -34,6 +36,7 @@ def test_vqe_ising_converges():
     assert rel < 1e-4, f"VQE failed to converge: E={e}, exact={exact}, rel={rel}"
 
 
+@pytest.mark.slow
 def test_vqe_distributed_matches_single():
     mesh = make_mesh(8)
     model = VQEIsing(qubits_number=8, layers_number=2, dtype=jnp.complex128, scan=False)

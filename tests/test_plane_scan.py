@@ -1,0 +1,247 @@
+"""Plane-layout Pallas engine parity: plane_scanned_layers must match the
+complex XLA scan path (value AND gradients) on every eligible tape shape.
+
+Kernels run in interpret mode on CPU; the same code paths execute compiled
+on TPU (bench.py / tests marked tpu)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dqc_tpu import config
+from dqc_tpu.circuit.builder import AutoGradCircuit
+from dqc_tpu.circuit.fused_autograd import fused_tape_forward
+from dqc_tpu.circuit.fusion import FBlock, fuse_tape
+from dqc_tpu.circuit.plane_scan import (
+    plane_scanned_layers,
+    plane_tape_eligible,
+    schedule_dual_pairs,
+)
+from dqc_tpu.circuit.scan import _scanned_layers_xla, fuse_layer, scanned_layers
+from dqc_tpu.ops.statevector import standard_state
+
+C64 = jnp.complex64
+F32 = jnp.float32
+
+
+def rand_state(n, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    s = (v[0] + 1j * v[1]).astype(np.complex64)
+    return jnp.asarray(s / np.linalg.norm(s))
+
+
+def rand_su2(rng):
+    a, b, g = rng.normal(size=3)
+    ca, sa = np.cos(a / 2), np.sin(a / 2)
+    m = np.array([[ca, -sa * np.exp(1j * g)],
+                  [sa * np.exp(1j * b), ca * np.exp(1j * (b + g))]],
+                 dtype=np.complex64)
+    return m.reshape(-1)
+
+
+def build_layer(n, *, entangler="cz", nonu=False, seed=0):
+    """One hardware-efficient layer: var 1q on every qubit + diag entangler
+    ring (in-group AND cross-group diagonals) + a var cross-group zz."""
+    rng = np.random.default_rng(seed)
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        if nonu and i % 5 == 2:
+            c.add_q1_var_gate_nonu(i)
+        else:
+            c.add_q1_var_gate(i)
+    consts = []
+    cz = np.array([1, 1, 1, -1], dtype=np.complex64)
+    for i in range(n - 1):
+        c.add_q2_const_gate_diag(i, i + 1)
+        consts.append(cz)
+    c.add_q2_var_gate_diag(0, n - 1)  # var cross-group diagonal
+    ftape = fuse_layer(c.tape)
+
+    L = 3
+
+    def stacked(key):
+        ks = jax.random.split(key, L)
+        slots = []
+        for q in range(n):
+            mats = []
+            for l in range(L):
+                m = rand_su2(np.random.default_rng(1000 * l + q + seed))
+                if nonu and q % 5 == 2:
+                    m = m + 0.05 * np.random.default_rng(7 * l + q).normal(size=4).astype(np.float32)
+                mats.append(m)
+            slots.append(jnp.asarray(np.stack(mats)))
+        # trailing var slot: the zz diagonal, parameterized
+        zz = []
+        for l in range(L):
+            g = 0.3 + 0.1 * l
+            zz.append(np.exp(1j * g * np.array([1, -1, -1, 1], dtype=np.float32)).astype(np.complex64))
+        slots.append(jnp.asarray(np.stack(zz)))
+        return tuple(slots)
+
+    return ftape, stacked(jax.random.PRNGKey(seed)), tuple(consts)
+
+
+@pytest.fixture
+def plane_mode():
+    config.set_plane_engine(True)
+    yield
+    config.set_plane_engine("auto")
+
+
+@pytest.mark.parametrize("n", [14, 15, 16])
+def test_forward_parity(n):
+    ftape, stacked, consts = build_layer(n, seed=n)
+    assert plane_tape_eligible(ftape, C64)
+    init = rand_state(n, seed=n)
+    want = _scanned_layers_xla(ftape, init, stacked, consts)
+    got = plane_scanned_layers(ftape, init, stacked, consts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("n,nonu", [(14, False), (15, True), (16, False)])
+def test_gradient_parity(n, nonu):
+    """value_and_grad through scan + epilogue densities: plane vs XLA engines
+    agree on the loss and every var-gate cotangent (incl. non-unitary
+    uncompute and the var cross-group diagonal)."""
+    ftape, stacked, consts = build_layer(n, nonu=nonu, seed=n)
+    init = rand_state(n, seed=n + 1)
+
+    epi = AutoGradCircuit(n, dtype=C64)
+    for i in range(0, n, 3):
+        epi.get_q1_dens_op_with_grad(i)
+    epi.get_q2_dens_op_with_grad(1, n - 1)
+    epi_ft = fuse_tape(epi.tape)
+
+    def loss_with(layers_fn):
+        def loss(stacked_gates, init_state):
+            state = layers_fn(ftape, init_state, stacked_gates, consts)
+            densities = fused_tape_forward(epi_ft, state, (), ())
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in densities).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(loss_with(_scanned_layers_xla), argnums=(0, 1))(stacked, init)
+    v_pl, g_pl = jax.value_and_grad(loss_with(plane_scanned_layers), argnums=(0, 1))(stacked, init)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_dispatch_parity(plane_mode):
+    """The public model path routes through the plane engine when forced on
+    and produces the same loss/grads as the XLA path."""
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    m = HardwareEfficientAnsatz(14, 3, entangler="cz", dtype=C64, scan=True)
+    params = m.init_params(jax.random.PRNGKey(3))
+
+    v_pl, g_pl = jax.value_and_grad(lambda p: m.magnetization(p))(params)
+    config.set_plane_engine(False)
+    v_ref, g_ref = jax.value_and_grad(lambda p: m.magnetization(p))(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_vqe_ising_layer_parity():
+    """The reference headline workload's layer (var diag zz ring + var dense
+    x rotations, reference example_vqse_ising.py:68-75) at 15 qubits."""
+    n = 15
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n - 1):
+        c.add_q2_var_gate_diag(i, i + 1)
+    c.add_q2_var_gate_diag(0, n - 1)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    ftape = fuse_layer(c.tape)
+    assert plane_tape_eligible(ftape, C64)
+
+    L = 2
+    rng = np.random.default_rng(0)
+
+    def slot_zz(l, i):
+        g = rng.normal() * 0.4
+        return np.exp(1j * g * np.array([1, -1, -1, 1])).astype(np.complex64)
+
+    def slot_x(l, i):
+        b = rng.normal() * 0.4
+        return np.array([np.cos(b), -1j * np.sin(b),
+                         -1j * np.sin(b), np.cos(b)], dtype=np.complex64)
+
+    stacked = tuple(
+        jnp.asarray(np.stack([slot_zz(l, i) for l in range(L)]))
+        for i in range(n)
+    ) + tuple(
+        jnp.asarray(np.stack([slot_x(l, i) for l in range(L)]))
+        for i in range(n)
+    )
+    init = standard_state(n, C64)
+
+    def loss_with(layers_fn):
+        def loss(sg):
+            state = layers_fn(ftape, init, sg, ())
+            t = state.reshape(-1)
+            return jnp.sum(jnp.abs(t[: 1 << 10]) ** 2).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(loss_with(_scanned_layers_xla))(stacked)
+    v_pl, g_pl = jax.value_and_grad(loss_with(plane_scanned_layers))(stacked)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_schedule_dual_pairs():
+    n = 16
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    ftape = fuse_layer(c.tape)
+    pairs = schedule_dual_pairs(ftape)
+    blocks = [fi for fi in ftape.instructions if isinstance(fi, FBlock)]
+    assert len(blocks) == 3  # groups 0, 1, 2
+    # groups 0 and 1 pair into one dual sweep; group 2 stands alone
+    paired = [p for p in pairs if p[1] is not None]
+    assert len(paired) == 1
+    i, j = paired[0]
+    gi = ftape.instructions[i].group
+    gj = ftape.instructions[j].group
+    assert {gi, gj} == {0, 1}
+    assert len(pairs) == len(ftape.instructions) - 1
+
+
+def test_ineligible_tapes_fall_back():
+    # dense cross-group gate -> not plane-eligible
+    c = AutoGradCircuit(16, dtype=C64)
+    c.add_q2_var_gate(6, 7)
+    ftape = fuse_layer(c.tape)
+    assert not plane_tape_eligible(ftape, C64)
+    # too few qubits
+    c2 = AutoGradCircuit(10, dtype=C64)
+    c2.add_q1_var_gate(0)
+    assert not plane_tape_eligible(fuse_layer(c2.tape), C64)
+    # f64
+    c3 = AutoGradCircuit(14, dtype=jnp.complex128)
+    c3.add_q1_var_gate(0)
+    assert not plane_tape_eligible(fuse_layer(c3.tape), jnp.complex128)
+
+    # and the public dispatcher still runs the dense-cross tape correctly
+    config.set_plane_engine(True)
+    try:
+        rng = np.random.default_rng(0)
+        stacked = (jnp.asarray(np.stack([rand_su2(rng), rand_su2(rng)]).reshape(2, 4)),)
+        init = rand_state(16, seed=9)
+        # build a proper 16-elem 2q gate stack
+        g = np.linalg.qr(rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4)))[0]
+        stacked = (jnp.asarray(np.stack([g.reshape(-1), g.conj().T.reshape(-1)]).astype(np.complex64)),)
+        out = scanned_layers(ftape, init, stacked, ())
+        want = _scanned_layers_xla(ftape, init, stacked, ())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+    finally:
+        config.set_plane_engine("auto")

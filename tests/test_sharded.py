@@ -157,6 +157,7 @@ def test_mesh_validation():
         plan_distribution(c.tape, 3)  # 8 devices on 4 qubits: block can't fit
 
 
+@pytest.mark.slow
 def test_vqe_distributed_scan_matches(mesh8):
     from dqc_tpu.models.vqe_ising import VQEIsing
     model = VQEIsing(qubits_number=8, layers_number=4, dtype=C128, scan=True)
