@@ -78,10 +78,13 @@ def _uncompute(state, inst: Instruction, gate):
     if inst.kind is InstrKind.GATE:
         if inst.unitary:
             return sv.apply_gate_adjoint(state, gate, inst.positions)
-        return sv.apply_gate_inverse(state, gate, inst.positions)
+        return sv.apply_gate_inverse(state, gate, inst.positions,
+                                     ctx=f"gate at positions {inst.positions}")
     if inst.kind is InstrKind.DIAG:
-        d = gate.reshape(-1)
-        inv = d.conj() if inst.unitary else 1.0 / d
+        from dqc_tpu.ops import inversion
+
+        inv = inversion.invert_diag(gate.reshape(-1), inst.unitary,
+                                    ctx=f"diag gate at positions {inst.positions}")
         return sv.apply_diag(state, inv, inst.positions)
     raise AssertionError(inst)
 

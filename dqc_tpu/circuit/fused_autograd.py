@@ -30,6 +30,7 @@ import numpy as np
 
 from dqc_tpu.circuit.fusion import FBlock, FCross, FDensity, FusedTape, GateRef
 from dqc_tpu.ops import groups as gr
+from dqc_tpu.ops import inversion
 
 
 # ---------------------------------------------------------------------------
@@ -46,18 +47,16 @@ def _ref_gate(ref: GateRef, var_gates, const_gates):
     return var_gates[ref.queue_idx] if ref.var else const_gates[ref.queue_idx]
 
 
-def _inv_dense(m, unitary: bool):
-    c = gr.concrete_or_none(m)
-    if c is not None:
-        return c.conj().T if unitary else np.linalg.inv(c)
-    return m.conj().T if unitary else jnp.linalg.inv(m)
+def _inv_dense(m, unitary: bool, ctx: str = "gate"):
+    return inversion.invert_gate(m, unitary, ctx)
 
 
-def _inv_diag(d, unitary: bool):
-    c = gr.concrete_or_none(d)
-    if c is not None:
-        return c.conj() if unitary else 1.0 / c
-    return d.conj() if unitary else 1.0 / d
+def _inv_diag(d, unitary: bool, ctx: str = "diag gate"):
+    return inversion.invert_diag(d, unitary, ctx)
+
+
+def _ref_ctx(ref: GateRef) -> str:
+    return f"{'var' if ref.var else 'const'} gate, queue index {ref.queue_idx}"
 
 
 def _diag_to_dense(table):
@@ -74,7 +73,7 @@ def _ref_op(ref: GateRef, gate, g: int, *, inverse: bool = False):
         return _diag_to_dense(_ref_table(ref, gate, g, inverse=inverse))
     m = gate.reshape(1 << k, 1 << k)
     if inverse:
-        m = _inv_dense(m, ref.unitary)
+        m = _inv_dense(m, ref.unitary, _ref_ctx(ref))
     return gr.expand_in_group(m, ref.rel_positions, g)
 
 
@@ -82,7 +81,7 @@ def _ref_table(ref: GateRef, gate, g: int, *, inverse: bool = False):
     """Full-group diagonal table of one diag gate occurrence."""
     d = gate.reshape(-1)
     if inverse:
-        d = _inv_diag(d, ref.unitary)
+        d = _inv_diag(d, ref.unitary, _ref_ctx(ref))
     return gr.expand_diag_in_group(d, ref.rel_positions, g)
 
 
@@ -213,16 +212,18 @@ def _backward_gate_step(fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts)
             ),
             fwd.dtype,
         )
+        ctx = (f"{'var' if fi.var else 'const'} cross-group gate, "
+               f"queue index {fi.queue_idx}")
         if fi.diag:
             d = gate.reshape(-1)
-            fwd = gr.apply_diag(fwd, _inv_diag(d, fi.unitary), fi.positions, n)
+            fwd = gr.apply_diag(fwd, _inv_diag(d, fi.unitary, ctx), fi.positions, n)
             if fi.var and bwd is not None:
                 var_cts[fi.queue_idx] = gr.diag_pair_grad(fwd, bwd, fi.positions, n)
             if bwd is not None:
                 bwd = gr.apply_diag(bwd, d, fi.positions, n)
         else:
             m = gate.reshape(4, 4)
-            fwd = gr.apply_dense(fwd, _inv_dense(m, fi.unitary), fi.positions, n)
+            fwd = gr.apply_dense(fwd, _inv_dense(m, fi.unitary, ctx), fi.positions, n)
             if fi.var and bwd is not None:
                 var_cts[fi.queue_idx] = gr.pair_grad(fwd, bwd, fi.positions, n)
             if bwd is not None:

@@ -185,7 +185,10 @@ def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
 
     if isinstance(fi, FCross):
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
-        inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary), fi.positions, n)
+        ctx = (f"{'var' if fi.var else 'const'} cross-group diag gate, "
+               f"queue index {fi.queue_idx}")
+        inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary, ctx),
+                                             fi.positions, n)
         fxr, fxi = pl.apply_cross_diag(fxr, fxi, inv_t2, ja, jb, n)
         if fi.var:
             W2 = pl.cross_diag_gram(fxr, fxi, bxr, bxi, ja, jb, n)

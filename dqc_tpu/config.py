@@ -81,6 +81,24 @@ def plane_engine():
     return _PLANE_ENGINE
 
 
+# Singular-gate diagnosis for the non-unitary uncompute (ops/inversion.py).
+# "host": concrete gates raise an actionable ValueError (default);
+# "debug": traced gates additionally get a lax.cond + debug.print guard;
+# "off": no checks (reference parity minus the cuBLAS info report).
+_SINGULARITY_CHECKS = "host"
+
+
+def set_singularity_checks(mode: str) -> None:
+    if mode not in ("host", "debug", "off"):
+        raise ValueError("singularity checks mode must be 'host', 'debug' or 'off'")
+    global _SINGULARITY_CHECKS
+    _SINGULARITY_CHECKS = mode
+
+
+def singularity_checks() -> str:
+    return _SINGULARITY_CHECKS
+
+
 def set_default_complex(dtype) -> None:
     """Set the process-wide default complex dtype (complex64 or complex128)."""
     global _DEFAULT_COMPLEX

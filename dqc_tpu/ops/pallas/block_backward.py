@@ -228,7 +228,7 @@ def _kernel_high(x_dim,
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, m_blk: int = 4, interpret: bool = False):
+                        *, m_blk: int = 8, interpret: bool = False):
     """One-pass adjoint step for a high-group block.
 
     The state planes must be shaped ``(A1, X, M, 128)`` with ``X`` the
@@ -256,6 +256,9 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                  + (pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM),) * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # (1, X, 8, 128) blocks x 8 live buffers + Karatsuba temporaries
+            # exceed the 16M default scoped-vmem at X=128; v5e has 128M VMEM
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)

@@ -271,12 +271,17 @@ def apply_gate_transpose(state: jax.Array, gate: jax.Array, positions: Sequence[
     return apply_gate(state, g.T, positions)
 
 
-def apply_gate_inverse(state: jax.Array, gate: jax.Array, positions: Sequence[int]) -> jax.Array:
+def apply_gate_inverse(state: jax.Array, gate: jax.Array, positions: Sequence[int],
+                       ctx: str = "gate") -> jax.Array:
     """Apply ``G^-1`` — uncompute for non-unitary gates (reference
     `q1gate_inv`/`q2gate_inv` via cuBLAS batched inversion,
-    primitives.cu:547-570, 622-646)."""
+    primitives.cu:547-570, 622-646). Singularity is diagnosed per
+    ops/inversion.py (the reference reports "U(i,i) is zero",
+    primitives.cu:128-132)."""
+    from dqc_tpu.ops import inversion
+
     g = _as_matrix(gate, len(positions))
-    return apply_gate(state, jnp.linalg.inv(g), positions)
+    return apply_gate(state, inversion.invert_gate(g, unitary=False, ctx=ctx), positions)
 
 
 def probabilities(state: jax.Array) -> jax.Array:

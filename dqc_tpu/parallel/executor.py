@@ -42,9 +42,12 @@ def _uncompute(local, di: DApply, gate):
     if di.kind is InstrKind.GATE:
         if di.unitary:
             return sv.apply_gate_adjoint(local, gate, di.positions)
-        return sv.apply_gate_inverse(local, gate, di.positions)
-    d = gate.reshape(-1)
-    inv = d.conj() if di.unitary else 1.0 / d
+        return sv.apply_gate_inverse(local, gate, di.positions,
+                                     ctx=f"gate at positions {di.positions}")
+    from dqc_tpu.ops import inversion
+
+    inv = inversion.invert_diag(gate.reshape(-1), di.unitary,
+                                ctx=f"diag gate at positions {di.positions}")
     return sv.apply_diag(local, inv, di.positions)
 
 
