@@ -222,7 +222,8 @@ def _backward_gate_step(fi, fwd, bwd, var_gates, const_gates, sizes, n, var_cts)
             if bwd is not None:
                 bwd = gr.apply_diag(bwd, d, fi.positions, n)
         else:
-            m = gate.reshape(4, 4)
+            kk = 1 << len(fi.positions)
+            m = gate.reshape(kk, kk)
             fwd = gr.apply_dense(fwd, _inv_dense(m, fi.unitary, ctx), fi.positions, n)
             if fi.var and bwd is not None:
                 var_cts[fi.queue_idx] = gr.pair_grad(fwd, bwd, fi.positions, n)

@@ -51,8 +51,9 @@ class FBlock:
 
 @dataclass(frozen=True)
 class FCross:
-    """A 2q gate spanning two groups (dense: Schmidt; diag: table)."""
-    positions: Tuple[int, int]
+    """A gate spanning multiple groups (2q dense: Schmidt; 2-group diag:
+    joint table; generic k>=3: sub-block gather/apply/scatter)."""
+    positions: Tuple[int, ...]
     var: bool
     unitary: bool
     queue_idx: int
@@ -135,13 +136,9 @@ def _fuse_tape_py(tape: Tape) -> FusedTape:
                 pending.setdefault(j, []).append(
                     GateRef(inst.var, qidx, rels, diag, inst.unitary)
                 )
-            elif inst.k == 2:
+            else:
                 flush(sorted(groups))
                 out.append(FCross(inst.positions, inst.var, inst.unitary, qidx, diag))
-            else:
-                raise NotImplementedError(
-                    f"gate on {inst.k} qubits spanning {len(groups)} groups"
-                )
     flush()
     return FusedTape(
         n=n,

@@ -59,8 +59,12 @@ def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
     for fi in ftape.instructions:
         if isinstance(fi, FDensity):
             return False  # layer tapes are gate-only; densities -> epilogue
-        if isinstance(fi, FCross) and not fi.diag:
-            return False  # dense cross-group gates: complex engine
+        if isinstance(fi, FCross):
+            if not fi.diag:
+                return False  # dense cross-group gates: complex engine
+            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
+            if len(groups) > 2:
+                return False  # >2-group diagonal: complex engine
     return True
 
 

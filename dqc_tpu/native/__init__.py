@@ -56,7 +56,7 @@ def bind(path: str) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.dqc_planner_version.restype = ctypes.c_int32
-    if lib.dqc_planner_version() != 1:
+    if lib.dqc_planner_version() != 2:
         raise OSError(f"planner ABI version mismatch in {path}")
     return lib
 
@@ -131,10 +131,12 @@ def fuse_tape_native(tape, group_bits: int):
                 gates.append(GateRef(bool(var), qidx, rels, bool(diag), bool(unit)))
                 i += 9
             instrs.append(FBlock(group, tuple(gates)))
-        elif tag == 2:  # cross
-            p2, p1, var, unit, qidx, diag = (int(x) for x in stream[i + 1:i + 7])
-            instrs.append(FCross((p2, p1), bool(var), bool(unit), qidx, bool(diag)))
-            i += 7
+        elif tag == 2:  # cross (any k): [2, k, p0..p3, var, unitary, qidx, diag]
+            kk = int(stream[i + 1])
+            pos = tuple(int(x) for x in stream[i + 2:i + 2 + kk])
+            var, unit, qidx, diag = (int(x) for x in stream[i + 6:i + 10])
+            instrs.append(FCross(pos, bool(var), bool(unit), qidx, bool(diag)))
+            i += 10
         elif tag == 3:  # density
             diff, kk = int(stream[i + 1]), int(stream[i + 2])
             pos = tuple(int(x) for x in stream[i + 3:i + 3 + kk])

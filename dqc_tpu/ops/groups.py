@@ -291,10 +291,14 @@ def apply_dense(t: jax.Array, gate: jax.Array, positions: Sequence[int], n: int)
             term = apply_group_matrix(apply_group_matrix(t, EB, j1), EA, j2)
             out = term if out is None else out + term
         return out
-    raise NotImplementedError(
-        f"dense gate on {k} qubits spanning {len(groups)} groups; "
-        "relabel or decompose first"
-    )
+    # generic k>=3 spanning multiple groups: gather the target bits to the
+    # front (subblocks), one (2^k, 2^k) x (2^k, 2^(n-k)) MXU matmul, scatter
+    # back — exact for any positions (reference scope caps at k=2,
+    # primitives.cu:573-620; this is an extension)
+    S, restore = subblocks_with_restore(t, positions, n)
+    S = jnp.matmul(gate.reshape(1 << k, 1 << k), S,
+                   precision=config.matmul_precision())
+    return restore(S)
 
 
 def apply_diag(t: jax.Array, diag: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
@@ -312,7 +316,10 @@ def apply_diag(t: jax.Array, diag: jax.Array, positions: Sequence[int], n: int) 
     if len(by_group) == 2:
         table2, ja, jb = cross_diag_table(diag, positions, n)
         return apply_cross_diag(t, table2, ja, jb)
-    raise NotImplementedError("diagonal spanning >2 groups: apply as two diagonals")
+    # diagonal spanning >2 groups (generic k extension): gather target bits
+    # to the front, scale rows, scatter back
+    S, restore = subblocks_with_restore(t, positions, n)
+    return restore(S * diag.reshape(-1)[:, None])
 
 
 def cross_diag_table(diag, positions: Sequence[int], n: int):
@@ -395,6 +402,17 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
     (`q1grad`/`q2grad`, primitives.cu:202-395): after this, each is a single
     Gram-style matmul.
     """
+    S, _ = subblocks_with_restore(t, positions, n)
+    return S
+
+
+def subblocks_with_restore(t: jax.Array, positions: Sequence[int], n: int):
+    """Like :func:`subblocks`, additionally returning ``restore(S') -> t'``
+    which maps a modified sub-block matrix back to the grouped layout — the
+    generic-gate execution path: any k-qubit dense gate at any positions
+    becomes ``restore(G @ subblocks(t))`` (one gather sweep, one MXU matmul,
+    one scatter sweep), with all bit bookkeeping in tiny cached permutation
+    matrices."""
     positions = tuple(int(p) for p in positions)
     k = len(positions)
     sizes = group_sizes_low_first(n)
@@ -403,9 +421,11 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
         by_group.setdefault(group_of_bit(n, p)[0], []).append(i)
 
     work = t
+    orders: Dict[int, Tuple[int, ...]] = {}
     for j, idxs in by_group.items():
         rels = [positions[i] % GROUP_BITS for i in idxs]
         order = rels + [b for b in range(sizes[j] - 1, -1, -1) if b not in rels]
+        orders[j] = tuple(order)
         work = _permute_group_bits(work, order, j)
 
     # split each involved axis into (cluster, rest)
@@ -425,7 +445,8 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
         else:
             new_shape.append(dim)
             cur += 1
-    work = work.reshape(new_shape)
+    split_shape = tuple(new_shape)
+    work = work.reshape(split_shape)
 
     # clusters to the front, ordered by first appearance in `positions`
     seen: List[int] = []
@@ -437,8 +458,11 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
             seen.append(a)
             achieved.extend(by_group[j])
     rest = [a for a in range(work.ndim) if a not in seen]
-    work = work.transpose(seen + rest).reshape(1 << k, -1)
+    axes_perm = seen + rest
+    transposed_shape = tuple(split_shape[a] for a in axes_perm)
+    work = work.transpose(axes_perm).reshape(1 << k, -1)
 
+    row_perm = None
     if achieved != list(range(k)):
         # interleaved groups (k>=3): permute rows to `positions` msb order
         perm = np.zeros(1 << k, dtype=np.int32)
@@ -448,8 +472,27 @@ def subblocks(t: jax.Array, positions: Sequence[int], n: int) -> jax.Array:
                 bit = (r >> (k - 1 - slot)) & 1
                 out |= bit << (k - 1 - i)
             perm[out] = r
+        row_perm = perm
         work = work[jnp.asarray(perm)]
-    return work
+
+    grouped_shape = t.shape
+
+    def restore(S: jax.Array) -> jax.Array:
+        if row_perm is not None:
+            inv = np.argsort(row_perm).astype(np.int32)
+            S = S[jnp.asarray(inv)]
+        w = S.reshape(transposed_shape)
+        inv_axes = np.argsort(axes_perm)
+        w = w.transpose(tuple(int(a) for a in inv_axes)).reshape(grouped_shape)
+        for j, order in orders.items():
+            g = sizes[j]
+            # undo the bit rotation: apply P^T (permutation inverse)
+            P = _bit_permutation_matrix(order, g)
+            if order != tuple(range(g - 1, -1, -1)):
+                w = apply_group_matrix(w, P.T, j)
+        return w
+
+    return work, restore
 
 
 # ---------------------------------------------------------------------------

@@ -54,7 +54,7 @@ struct GateRef {
 
 }  // namespace
 
-extern "C" int32_t dqc_planner_version(void) { return 1; }
+extern "C" int32_t dqc_planner_version(void) { return 2; }
 
 extern "C" int32_t dqc_fuse_tape(const int32_t* tape, int32_t num_instr,
                                  int32_t n_qubits, int32_t group_bits,
@@ -111,16 +111,19 @@ extern "C" int32_t dqc_fuse_tape(const int32_t* tape, int32_t num_instr,
       ref.k = in.k;
       for (int32_t b = 0; b < in.k; ++b) ref.rel[b] = in.pos[b] % group_bits;
       pending[g0].push_back(ref);
-    } else if (in.k == 2) {
-      int32_t ga = in.pos[0] / group_bits, gb = in.pos[1] / group_bits;
-      flush_group(std::min(ga, gb));
-      flush_group(std::max(ga, gb));
+    } else {
+      // cross-group gate (any k): flush involved groups ascending, emit an
+      // extended cross record [2, k, p0..p3, var, unitary, qidx, diag]
+      std::vector<int32_t> gs;
+      for (int32_t b = 0; b < in.k; ++b) gs.push_back(in.pos[b] / group_bits);
+      std::sort(gs.begin(), gs.end());
+      gs.erase(std::unique(gs.begin(), gs.end()), gs.end());
+      for (int32_t j : gs) flush_group(j);
       w.put(2);
-      w.put(in.pos[0]); w.put(in.pos[1]);
+      w.put(in.k);
+      for (int32_t b = 0; b < 4; ++b) w.put(b < in.k ? in.pos[b] : -1);
       w.put(in.var); w.put(in.unitary); w.put(qidx);
       w.put((in.kind == KIND_DIAG) ? 1 : 0);
-    } else {
-      return -1;  // k>2 spanning groups unsupported (as in Python)
     }
   }
   flush_all();

@@ -38,7 +38,7 @@ static std::vector<int32_t> flatten(const std::vector<Row>& rows) {
   return t;
 }
 
-static void test_version() { CHECK(dqc_planner_version() == 1); }
+static void test_version() { CHECK(dqc_planner_version() == 2); }
 
 /* Two 1q gates in group 0 + one in group 1 fuse into two blocks; a density
  * flushes everything. */
@@ -79,8 +79,23 @@ static void test_fuse_cross() {
   int32_t i = 3 + 9;
   CHECK(out[i] == 1 && out[i + 1] == 1 && out[i + 2] == 1);
   i += 3 + 9;
-  CHECK(out[i] == 2 && out[i + 1] == 7 && out[i + 2] == 6);
-  CHECK(out[i + 3] == 1 /*var*/ && out[i + 6] == 0 /*dense*/);
+  CHECK(out[i] == 2 && out[i + 1] == 2 /*k*/);
+  CHECK(out[i + 2] == 7 && out[i + 3] == 6);
+  CHECK(out[i + 6] == 1 /*var*/ && out[i + 9] == 0 /*dense*/);
+}
+
+/* A k=3 gate spanning three groups emits one extended cross record. */
+static void test_fuse_cross_k3() {
+  std::vector<Row> rows = {
+      {0, 1, 1, 0, 3, 15, 8, 1, -1},   // var 3q gate over groups 2, 1, 0
+  };
+  auto tape = flatten(rows);
+  int32_t out[512];
+  int32_t ln = dqc_fuse_tape(tape.data(), (int32_t)rows.size(), 16, 7, out, 512);
+  CHECK(ln == 10);
+  CHECK(out[0] == 2 && out[1] == 3);
+  CHECK(out[2] == 15 && out[3] == 8 && out[4] == 1 && out[5] == -1);
+  CHECK(out[6] == 1 /*var*/ && out[7] == 1 /*unitary*/ && out[9] == 0 /*dense*/);
 }
 
 /* Queue indices count var and const gates independently, in tape order. */
@@ -151,6 +166,7 @@ int main() {
   test_version();
   test_fuse_basic();
   test_fuse_cross();
+  test_fuse_cross_k3();
   test_fuse_queue_indices();
   test_fuse_capacity_error();
   test_plan_distribution();

