@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
-QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
+QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "29,28,26,24").split(",")]
 LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "8"))
 REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
 
@@ -63,14 +63,29 @@ def run_bench(n_qubits: int, layers: int):
     sweeps = n_gates + 2 * n_gates + n_var
     bytes_per_sweep = (1 << n_qubits) * 8 * 2  # read + write complex64
     equiv_gbps = sweeps * bytes_per_sweep / dt / 1e9  # per-gate-sweep equivalent
+
+    # achieved bandwidth of the sweeps ACTUALLY executed (the fusion/plane
+    # engine does far fewer than one sweep per gate): estimated HBM passes
+    # per layer from the engine's own schedule
+    from dqc_tpu.circuit import plane_scan
+
+    engine = "plane" if plane_scan.use_plane_engine(
+        model._layer_ftape, model.dtype) else "xla"
+    fwd_p, bwd_p = plane_scan.estimate_hbm_passes(model._layer_ftape)
+    exec_passes = layers * (fwd_p + bwd_p) + 6  # +~6: epilogue/seed/convert
+    achieved_gbps = exec_passes * bytes_per_sweep / dt / 1e9
     return {
         "qubits": n_qubits,
         "layers": layers,
         "gates": n_gates,
+        "engine": engine,
         "sec_per_grad_step": dt,
         "gates_per_sec": n_gates / dt,
         "equiv_GBps": equiv_gbps,
         "sol_fraction": equiv_gbps / HBM_GBPS,
+        "executed_passes_est": exec_passes,
+        "achieved_GBps_est": achieved_gbps,
+        "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
     }
 
 

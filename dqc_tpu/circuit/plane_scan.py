@@ -133,6 +133,39 @@ def schedule_dual_pairs(ftape: FusedTape) -> Tuple[Tuple[int, Optional[int]], ..
     return tuple(out)
 
 
+def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
+    """(forward, backward) full-state HBM passes per layer under the plane
+    engine — one pass = read+write of the full state's bytes. Used by
+    bench.py to report *achieved* bandwidth (as opposed to the per-gate-sweep
+    architecture-equivalent number).
+
+    Assumptions: a dual/high kernel sweep = 1 pass; a run of consecutive
+    elementwise diagonals fuses into 1 pass (XLA multi-output fusion); a
+    backward block kernel reads 2 states and writes 2 = 2 passes; diagonal
+    backward = uncompute + gram read + transport ~= 2.5 passes.
+    """
+    pairs = schedule_dual_pairs(ftape)
+    fwd = 0.0
+    in_diag_run = False
+    for i, j in pairs:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FCross) or (isinstance(fi, FBlock) and fi.all_diag):
+            if not in_diag_run:
+                fwd += 1.0
+                in_diag_run = True
+            continue
+        in_diag_run = False
+        fwd += 1.0
+    bwd = 0.0
+    for fi in ftape.instructions:
+        if isinstance(fi, FBlock) and not fi.all_diag:
+            bwd += 2.0
+        else:
+            bwd += 2.5 if getattr(fi, "var", False) or (
+                isinstance(fi, FBlock) and fi.has_var) else 2.0
+    return fwd, bwd
+
+
 # ---------------------------------------------------------------------------
 # Per-instruction plane execution
 # ---------------------------------------------------------------------------

@@ -101,6 +101,8 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                 + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
         out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
                  + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 2,
+        # (fwd_in, bwd') overwrite (fwd_out, bwd): halves peak state memory
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -178,11 +180,131 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                 + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
         out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
                  + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 2,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)
+
+
+def _kernel_dual(a_blk, g0_first,
+                 fr_ref, fi_ref, br_ref, bi_ref,
+                 l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
+                 l_e1, l_e2, l_e3,         # lane E0 (right-mult for transport)
+                 s_inv1, s_inv2, s_inv3,   # sublane E1^-1 (left-mult)
+                 s_e1, s_e2, s_e3,         # sublane E1^T (left-mult)
+                 fir_ref, fii_ref, bnr_ref, bni_ref,
+                 t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref):
+    """Adjoint step for a lane-group AND a sublane-group block in ONE read of
+    the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
+    the sublane block in tape order (then the sublane block is uncomputed
+    first)."""
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+
+    t0l_r = jnp.zeros((128, 128), F32)
+    t0l_i = jnp.zeros((128, 128), F32)
+    t0s_r = jnp.zeros((128, 128), F32)
+    t0s_i = jnp.zeros((128, 128), F32)
+
+    def lane_step(fr, fi, br, bi, accum):
+        # fwd_in = fwd @ E0inv^T; T0_lane = pair gram over rows; bwd' = bwd @ E0
+        u1 = dot(fr + fi, l_inv1[:])
+        u2 = dot(fi, l_inv2[:])
+        u3 = dot(fr, l_inv3[:])
+        f0r, f0i = u1 - u2, u1 + u3
+        tr = dot(br.T, f0r) - dot(bi.T, f0i)
+        ti = dot(br.T, f0i) + dot(bi.T, f0r)
+        v1 = dot(br + bi, l_e1[:])
+        v2 = dot(bi, l_e2[:])
+        v3 = dot(br, l_e3[:])
+        return f0r, f0i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
+
+    def sub_step(fr, fi, br, bi, accum):
+        # fwd_in = E1inv @ fwd; T0_sub over columns; bwd' = E1^T @ bwd
+        u1 = dot(s_inv1[:], fr + fi)
+        u2 = dot(s_inv2[:], fi)
+        u3 = dot(s_inv3[:], fr)
+        f1r, f1i = u1 - u2, u1 + u3
+        tr = dot(br, f1r.T) - dot(bi, f1i.T)
+        ti = dot(br, f1i.T) + dot(bi, f1r.T)
+        v1 = dot(s_e1[:], br + bi)
+        v2 = dot(s_e2[:], bi)
+        v3 = dot(s_e3[:], br)
+        return f1r, f1i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
+
+    for a in range(a_blk):
+        fr, fi = fr_ref[a], fi_ref[a]
+        br, bi = br_ref[a], bi_ref[a]
+        if g0_first:
+            # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
+            fr, fi, br, bi, t0s_r, t0s_i = sub_step(fr, fi, br, bi, (t0s_r, t0s_i))
+            fr, fi, br, bi, t0l_r, t0l_i = lane_step(fr, fi, br, bi, (t0l_r, t0l_i))
+        else:
+            fr, fi, br, bi, t0l_r, t0l_i = lane_step(fr, fi, br, bi, (t0l_r, t0l_i))
+            fr, fi, br, bi, t0s_r, t0s_i = sub_step(fr, fi, br, bi, (t0s_r, t0s_i))
+        fir_ref[a, :, :] = fr
+        fii_ref[a, :, :] = fi
+        bnr_ref[a, :, :] = br
+        bni_ref[a, :, :] = bi
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        t0l_r_ref[:] = jnp.zeros_like(t0l_r_ref)
+        t0l_i_ref[:] = jnp.zeros_like(t0l_i_ref)
+        t0s_r_ref[:] = jnp.zeros_like(t0s_r_ref)
+        t0s_i_ref[:] = jnp.zeros_like(t0s_i_ref)
+
+    t0l_r_ref[:] += t0l_r
+    t0l_i_ref[:] += t0l_i
+    t0s_r_ref[:] += t0s_r
+    t0s_i_ref[:] += t0s_i
+
+
+@functools.partial(jax.jit, static_argnames=("g0_first", "a_blk", "interpret"))
+def block_backward_dual(fr, fi, br, bi,
+                        e0inv_r, e0inv_i, e0_r, e0_i,
+                        e1inv_r, e1inv_i, e1_r, e1_i,
+                        *, g0_first: bool = True, a_blk: int = 4,
+                        interpret: bool = False):
+    """One-pass adjoint step for a PAIR of blocks on the lane (E0) and
+    sublane (E1) groups — the backward mirror of dual_group_apply_planes.
+
+    Tape order matters for the pair grams: with ``g0_first`` (lane block
+    applied first in the forward), the sublane block is rolled back first
+    and its T0 sees the lane block still applied, exactly as two sequential
+    single-group kernels would. Returns
+    ``(f_r, f_i, b_r, b_i, T0_lane_r, T0_lane_i, T0_sub_r, T0_sub_i)``.
+    """
+    assert fr.ndim == 3 and fr.shape[1:] == (128, 128)
+    A = fr.shape[0]
+    if A % a_blk:
+        a_blk = 1
+    l_inv = e0inv_r.T, (e0inv_r + e0inv_i).T, (e0inv_i - e0inv_r).T
+    l_e = e0_r, e0_r + e0_i, e0_i - e0_r
+    s_inv = e1inv_r, e1inv_r + e1inv_i, e1inv_i - e1inv_r
+    s_e = e1_r.T, (e1_r + e1_i).T, (e1_i - e1_r).T
+    bs = lambda i: (i, 0, 0)
+    es = lambda i: (0, 0)
+    kern = functools.partial(_kernel_dual, a_blk, g0_first)
+    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    small = jax.ShapeDtypeStruct((128, 128), F32)
+    return pl.pallas_call(
+        kern,
+        out_shape=(big, big, big, big, small, small, small, small),
+        grid=(A // a_blk,),
+        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 12,
+        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
+                 + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 4,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(fr, fi, br, bi, *l_inv, *l_e, *s_inv, *s_e)
 
 
 def _kernel_high(x_dim,
@@ -254,6 +376,7 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                 + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 6,
         out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 4
                  + (pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM),) * 2,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # (1, X, 8, 128) blocks x 8 live buffers + Karatsuba temporaries

@@ -84,6 +84,9 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
         in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 2
                 + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
         out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 2,
+        # in-place update: the state planes are dead after the sweep
+        # (SURVEY 7 step 4b - the reference mutates one buffer in place)
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -63,6 +63,7 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 2
                 + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 3,
         out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 2,
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
