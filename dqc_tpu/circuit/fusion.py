@@ -137,8 +137,21 @@ def _fuse_tape_py(tape: Tape) -> FusedTape:
                     GateRef(inst.var, qidx, rels, diag, inst.unitary)
                 )
             else:
-                flush(sorted(groups))
-                out.append(FCross(inst.positions, inst.var, inst.unitary, qidx, diag))
+                affected = sorted(groups)
+                if diag and all(
+                    all(g.diag for g in pending.get(j, ())) for j in affected
+                ):
+                    # commutation-aware deferral: a cross-group diagonal
+                    # commutes with the affected groups' pending blocks when
+                    # those hold only diagonals — emit it without flushing,
+                    # so diag ladders (QFT's controlled-phases, ZZ rings)
+                    # keep extending one block per group
+                    out.append(FCross(inst.positions, inst.var, inst.unitary,
+                                      qidx, diag))
+                else:
+                    flush(affected)
+                    out.append(FCross(inst.positions, inst.var, inst.unitary,
+                                      qidx, diag))
     flush()
     return FusedTape(
         n=n,

@@ -146,6 +146,7 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
     """
     pairs = schedule_dual_pairs(ftape)
     fwd = 0.0
+    bwd = 0.0
     in_diag_run = False
     for i, j in pairs:
         fi = ftape.instructions[i]
@@ -153,16 +154,12 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
             if not in_diag_run:
                 fwd += 1.0
                 in_diag_run = True
+            bwd += 2.5 if getattr(fi, "var", False) or (
+                isinstance(fi, FBlock) and fi.has_var) else 2.0
             continue
         in_diag_run = False
         fwd += 1.0
-    bwd = 0.0
-    for fi in ftape.instructions:
-        if isinstance(fi, FBlock) and not fi.all_diag:
-            bwd += 2.0
-        else:
-            bwd += 2.5 if getattr(fi, "var", False) or (
-                isinstance(fi, FBlock) and fi.has_var) else 2.0
+        bwd += 2.0  # one backward kernel pass per dense sweep (dual or not)
     return fwd, bwd
 
 
@@ -262,6 +259,44 @@ def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
     return fxr, fxi, bxr_n, bxi_n
 
 
+def _backward_dual_step(fxr, fxi, bxr, bxi, fi_first, fi_second, ftape,
+                        var_gates, const_gates, var_cts):
+    """Adjoint of a paired lane+sublane dense-block dual sweep in ONE read of
+    the (fwd, bwd) planes (block_backward_dual). ``fi_first`` was applied
+    before ``fi_second`` in the forward."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_dual
+
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    g0_first = fi_first.group == 0
+    lane_fi = fi_first if g0_first else fi_second
+    sub_fi = fi_second if g0_first else fi_first
+
+    E0inv = _block_operator(lane_fi, var_gates, const_gates, sizes[0],
+                            inverse=True, reverse=True)
+    E0 = _block_operator(lane_fi, var_gates, const_gates, sizes[0])
+    E1inv = _block_operator(sub_fi, var_gates, const_gates, sizes[1],
+                            inverse=True, reverse=True)
+    E1 = _block_operator(sub_fi, var_gates, const_gates, sizes[1])
+    e0ir, e0ii = pl.op_planes(E0inv)
+    e0r, e0i = pl.op_planes(E0)
+    e1ir, e1ii = pl.op_planes(E1inv)
+    e1r, e1i = pl.op_planes(E1)
+    fxr, fxi, bxr, bxi, t0l_r, t0l_i, t0s_r, t0s_i = block_backward_dual(
+        fxr, fxi, bxr, bxi, e0ir, e0ii, e0r, e0i, e1ir, e1ii, e1r, e1i,
+        g0_first=g0_first, dot_mode=config.kernel_dot_mode(),
+        interpret=_interpret())
+    if lane_fi.has_var:
+        ops = _block_ops(lane_fi, var_gates, const_gates, sizes[0], C64)
+        dense_block_var_cts(lane_fi, ops, (t0l_r + 1j * t0l_i).astype(C64),
+                            var_gates, const_gates, sizes[0], C64, var_cts)
+    if sub_fi.has_var:
+        ops = _block_ops(sub_fi, var_gates, const_gates, sizes[1], C64)
+        dense_block_var_cts(sub_fi, ops, (t0s_r + 1j * t0s_i).astype(C64),
+                            var_gates, const_gates, sizes[1], C64, var_cts)
+    return fxr, fxi, bxr, bxi
+
+
 # ---------------------------------------------------------------------------
 # The scanned-layers custom_vjp
 # ---------------------------------------------------------------------------
@@ -298,14 +333,23 @@ def _fwd(ftape, initial_state, stacked_var_gates, const_gates):
 def _bwd(ftape, residuals, ct):
     final, initial_state, stacked_var_gates, const_gates = residuals
     n = ftape.n
-    rev_instrs = tuple(reversed(ftape.instructions))
+    # exact reverse of the forward execution plan: paired dual sweeps roll
+    # back in one dual-backward kernel pass each
+    rev_plan = tuple(reversed(schedule_dual_pairs(ftape)))
 
     def body(carry, layer_gates):
         fxr, fxi, bxr, bxi = carry
         var_cts: Dict[int, jax.Array] = {}
-        for fi in rev_instrs:
-            fxr, fxi, bxr, bxi = _backward_step(
-                fxr, fxi, bxr, bxi, fi, ftape, layer_gates, const_gates, var_cts)
+        for i, j in rev_plan:
+            if j is None:
+                fxr, fxi, bxr, bxi = _backward_step(
+                    fxr, fxi, bxr, bxi, ftape.instructions[i], ftape,
+                    layer_gates, const_gates, var_cts)
+            else:
+                fxr, fxi, bxr, bxi = _backward_dual_step(
+                    fxr, fxi, bxr, bxi, ftape.instructions[i],
+                    ftape.instructions[j], ftape, layer_gates, const_gates,
+                    var_cts)
         layer_cts = tuple(
             _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
         )

@@ -81,6 +81,23 @@ def plane_engine():
     return _PLANE_ENGINE
 
 
+# In-kernel matmul strategy for the plane-layout Pallas kernels
+# (ops/pallas/dots.py): "f32" = Precision.HIGHEST (6 MXU passes, exact f32);
+# "bf16x3" = manual 3-pass split (~2x faster kernels, ~f32-grade accuracy).
+_KERNEL_DOT_MODE = _os.environ.get("DQC_KERNEL_DOT", "bf16x3")
+
+
+def set_kernel_dot_mode(mode: str) -> None:
+    if mode not in ("f32", "bf16x3"):
+        raise ValueError("kernel dot mode must be 'f32' or 'bf16x3'")
+    global _KERNEL_DOT_MODE
+    _KERNEL_DOT_MODE = mode
+
+
+def kernel_dot_mode() -> str:
+    return _KERNEL_DOT_MODE
+
+
 # Singular-gate diagnosis for the non-unitary uncompute (ops/inversion.py).
 # "host": concrete gates raise an actionable ValueError (default);
 # "debug": traced gates additionally get a lax.cond + debug.print guard;

@@ -24,17 +24,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas.dots import make_dot
+
 F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk,
+def _kernel(a_blk, dot_mode,
             fr_ref, fi_ref, br_ref, bi_ref,
             inv_t1, inv_t2, inv_t3,      # Karatsuba operands of E^-1 (transposed)
             e_t1, e_t2, e_t3,            # Karatsuba operands of E (right-multiply)
             fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+    dot = make_dot(dot_mode)
 
     fr = fr_ref[:].reshape(-1, 128)
     fi = fi_ref[:].reshape(-1, 128)
@@ -71,9 +72,10 @@ def _kernel(a_blk,
     t0i_ref[:] += t0i
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
 def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, a_blk: int = 4, interpret: bool = False):
+                        *, a_blk: int = 4, dot_mode: str = "f32",
+                        interpret: bool = False):
     """One-pass adjoint step for a lane-group block.
 
     Returns ``(fwd_in_r, fwd_in_i, bwd_new_r, bwd_new_i, T0_r, T0_i)`` where
@@ -90,7 +92,7 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     e_t = e_r, e_r + e_i, e_i - e_r
     bs = lambda i: (i, 0, 0)
     es = lambda i: (0, 0)
-    kern = functools.partial(_kernel, a_blk)
+    kern = functools.partial(_kernel, a_blk, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
     return pl.pallas_call(
@@ -110,13 +112,12 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     )(fr, fi, br, bi, *inv_t, *e_t)
 
 
-def _kernel_sub(a_blk,
+def _kernel_sub(a_blk, dot_mode,
                 fr_ref, fi_ref, br_ref, bi_ref,
                 inv1, inv2, inv3,        # Karatsuba operands of E^-1 (left-mult)
                 e1, e2, e3,              # Karatsuba operands of E^T (left-mult)
                 fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+    dot = make_dot(dot_mode)
 
     t0r_acc = jnp.zeros((128, 128), F32)
     t0i_acc = jnp.zeros((128, 128), F32)
@@ -152,9 +153,10 @@ def _kernel_sub(a_blk,
     t0i_ref[:] += t0i_acc
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
 def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                           *, a_blk: int = 4, interpret: bool = False):
+                           *, a_blk: int = 4, dot_mode: str = "f32",
+                           interpret: bool = False):
     """One-pass adjoint step for a sublane-group (qubits 7..13) block.
 
     Same contract as :func:`block_backward_lane` with the group operator on
@@ -169,7 +171,7 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = lambda i: (i, 0, 0)
     es = lambda i: (0, 0)
-    kern = functools.partial(_kernel_sub, a_blk)
+    kern = functools.partial(_kernel_sub, a_blk, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
     return pl.pallas_call(
@@ -188,7 +190,7 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     )(fr, fi, br, bi, *inv, *et)
 
 
-def _kernel_dual(a_blk, g0_first,
+def _kernel_dual(a_blk, g0_first, dot_mode,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
                  l_e1, l_e2, l_e3,         # lane E0 (right-mult for transport)
@@ -200,8 +202,7 @@ def _kernel_dual(a_blk, g0_first,
     the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
     the sublane block in tape order (then the sublane block is uncomputed
     first)."""
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+    dot = make_dot(dot_mode)
 
     t0l_r = jnp.zeros((128, 128), F32)
     t0l_i = jnp.zeros((128, 128), F32)
@@ -262,12 +263,12 @@ def _kernel_dual(a_blk, g0_first,
     t0s_i_ref[:] += t0s_i
 
 
-@functools.partial(jax.jit, static_argnames=("g0_first", "a_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("g0_first", "a_blk", "dot_mode", "interpret"))
 def block_backward_dual(fr, fi, br, bi,
                         e0inv_r, e0inv_i, e0_r, e0_i,
                         e1inv_r, e1inv_i, e1_r, e1_i,
                         *, g0_first: bool = True, a_blk: int = 4,
-                        interpret: bool = False):
+                        dot_mode: str = "f32", interpret: bool = False):
     """One-pass adjoint step for a PAIR of blocks on the lane (E0) and
     sublane (E1) groups — the backward mirror of dual_group_apply_planes.
 
@@ -287,7 +288,7 @@ def block_backward_dual(fr, fi, br, bi,
     s_e = e1_r.T, (e1_r + e1_i).T, (e1_i - e1_r).T
     bs = lambda i: (i, 0, 0)
     es = lambda i: (0, 0)
-    kern = functools.partial(_kernel_dual, a_blk, g0_first)
+    kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
     return pl.pallas_call(
@@ -307,12 +308,11 @@ def block_backward_dual(fr, fi, br, bi,
     )(fr, fi, br, bi, *l_inv, *l_e, *s_inv, *s_e)
 
 
-def _kernel_high(x_dim,
+def _kernel_high(x_dim, dot_mode,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  inv1, inv2, inv3, e1, e2, e3,
                  fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+    dot = make_dot(dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
     fr = fr_ref[0].reshape(x_dim, -1)
@@ -348,9 +348,10 @@ def _kernel_high(x_dim,
     t0i_ref[:] += t0i
 
 
-@functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, m_blk: int = 8, interpret: bool = False):
+                        *, m_blk: int = 8, dot_mode: str = "f32",
+                        interpret: bool = False):
     """One-pass adjoint step for a high-group block.
 
     The state planes must be shaped ``(A1, X, M, 128)`` with ``X`` the
@@ -364,7 +365,7 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = lambda i, j: (i, 0, j, 0)
     es = lambda i, j: (0, 0)
-    kern = functools.partial(_kernel_high, X)
+    kern = functools.partial(_kernel_high, X, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((X, X), F32)
     blk = (1, X, m_blk, 128)

@@ -28,13 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas.dots import make_dot
+
 F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_ref):
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+def _kernel(a_blk, dot_mode, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_ref):
+    dot = make_dot(dot_mode)
 
     # lane group: y = x @ El^T via Karatsuba (k1 = El^T, k2 = (El+iEl_i)^T
     # style combinations precomputed by the wrapper)
@@ -56,9 +57,9 @@ def _kernel(a_blk, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_ref):
         yi_ref[a, :, :] = v1 + v3
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
 def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
-                            interpret: bool = False):
+                            dot_mode: str = "f32", interpret: bool = False):
     """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
     ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
     HBM pass."""
@@ -75,7 +76,7 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
     m1, m2, m3 = em_r, em_r + em_i, em_i - em_r
     bs = lambda i: (i, 0, 0)
     es = lambda i: (0, 0)
-    kern = functools.partial(_kernel, a_blk)
+    kern = functools.partial(_kernel, a_blk, dot_mode)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),

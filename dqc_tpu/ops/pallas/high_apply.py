@@ -22,13 +22,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas.dots import make_dot
+
 F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(x_dim, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=F32, precision=HI)
+def _kernel(x_dim, dot_mode, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
+    dot = make_dot(dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
     xr = xr_ref[0].reshape(x_dim, -1)
@@ -40,9 +41,9 @@ def _kernel(x_dim, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
     yi_ref[0] = (t1 + t3).reshape(yi_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("m_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "interpret"))
 def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
-                            interpret: bool = False):
+                            dot_mode: str = "f32", interpret: bool = False):
     """Apply the complex operator ``e_r + i e_i`` (``X x X``) to the second
     axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass."""
     assert xr.ndim == 4 and xr.shape[-1] == 128
@@ -53,7 +54,7 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
     e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
     bs = lambda i, j: (i, 0, j, 0)
     es = lambda i, j: (0, 0)
-    kern = functools.partial(_kernel, X)
+    kern = functools.partial(_kernel, X, dot_mode)
     blk = (1, X, m_blk, 128)
     return pl.pallas_call(
         kern,

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dqc_tpu import config
 from dqc_tpu.ops import groups as gr
 from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
 from dqc_tpu.ops.pallas.high_apply import high_group_apply_planes
@@ -126,6 +127,7 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
     e0r, e0i = op_planes(E0) if E0 is not None else (eye, zr)
     e1r, e1i = op_planes(E1) if E1 is not None else (eye, zr)
     return dual_group_apply_planes(xr, xi, e0r, e0i, e1r, e1i,
+                                   dot_mode=config.kernel_dot_mode(),
                                    interpret=interpret)
 
 
@@ -136,7 +138,9 @@ def apply_high(xr, xi, E, j: int, n: int, *, interpret: bool = False):
     vxr = xr.reshape(pre, X, M, 128)
     vxi = xi.reshape(pre, X, M, 128)
     if X >= MIN_KERNEL_X:
-        yr, yi = high_group_apply_planes(vxr, vxi, er, ei, interpret=interpret)
+        yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
+                                         dot_mode=config.kernel_dot_mode(),
+                                         interpret=interpret)
     else:
         # tiny top group: real-pair einsum (Karatsuba, 3 contractions)
         e1, e2, e3 = er, er + ei, ei - er
@@ -250,13 +254,16 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
     """
     einv_r, einv_i = op_planes(Einv)
     e_r, e_i = op_planes(E)
+    mode = config.kernel_dot_mode()
     if j == 0:
         fr, fi, br, bi, t0r, t0i = block_backward_lane(
-            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, interpret=interpret)
+            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
+            interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     if j == 1:
         fr, fi, br, bi, t0r, t0i = block_backward_sublane(
-            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, interpret=interpret)
+            fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
+            interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     pre, X, M = _high_view(n, j)
     shape4 = (pre, X, M, 128)
@@ -264,7 +271,8 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
         fr, fi, br, bi, t0r, t0i = block_backward_high(
             fxr.reshape(shape4), fxi.reshape(shape4),
             bxr.reshape(shape4), bxi.reshape(shape4),
-            einv_r, einv_i, e_r, e_i, interpret=interpret)
+            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+            interpret=interpret)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
                 br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
     # tiny top group: three real-pair einsum passes (XLA)

@@ -113,12 +113,28 @@ extern "C" int32_t dqc_fuse_tape(const int32_t* tape, int32_t num_instr,
       pending[g0].push_back(ref);
     } else {
       // cross-group gate (any k): flush involved groups ascending, emit an
-      // extended cross record [2, k, p0..p3, var, unitary, qidx, diag]
+      // extended cross record [2, k, p0..p3, var, unitary, qidx, diag].
+      // Commutation-aware deferral: a cross-group DIAGONAL commutes with
+      // pending blocks that hold only diagonals — skip the flush so diag
+      // ladders keep extending one block per group (mirrors fusion.py).
       std::vector<int32_t> gs;
       for (int32_t b = 0; b < in.k; ++b) gs.push_back(in.pos[b] / group_bits);
       std::sort(gs.begin(), gs.end());
       gs.erase(std::unique(gs.begin(), gs.end()), gs.end());
-      for (int32_t j : gs) flush_group(j);
+      bool defer = (in.kind == KIND_DIAG);
+      if (defer) {
+        for (int32_t j : gs) {
+          auto it = pending.find(j);
+          if (it == pending.end()) continue;
+          for (const auto& g : it->second) {
+            if (!g.diag) { defer = false; break; }
+          }
+          if (!defer) break;
+        }
+      }
+      if (!defer) {
+        for (int32_t j : gs) flush_group(j);
+      }
       w.put(2);
       w.put(in.k);
       for (int32_t b = 0; b < 4; ++b) w.put(b < in.k ? in.pos[b] : -1);
