@@ -82,9 +82,12 @@ def plane_engine():
 
 
 # In-kernel matmul strategy for the plane-layout Pallas kernels
-# (ops/pallas/dots.py): "f32" = Precision.HIGHEST (6 MXU passes, exact f32);
-# "bf16x3" = manual 3-pass split (~2x faster kernels, ~f32-grade accuracy).
-_KERNEL_DOT_MODE = _os.environ.get("DQC_KERNEL_DOT", "bf16x3")
+# (ops/pallas/dots.py): "f32" = Precision.HIGHEST (6 MXU passes, exact f32,
+# the default — keeps the 1e-6 gradient-parity bar); "bf16x3" = manual
+# 3-pass split, an opt-in throughput mode (measured 26q x 8L: 366 ms/step vs
+# 461 f32 = 1.26x faster, value drift ~5e-4 and grad rel err ~2.4e-3 over 8
+# layers — fine for variational optimization, not for parity tests).
+_KERNEL_DOT_MODE = _os.environ.get("DQC_KERNEL_DOT", "f32")
 
 
 def set_kernel_dot_mode(mode: str) -> None:

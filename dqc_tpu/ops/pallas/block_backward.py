@@ -107,6 +107,7 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv_t, *e_t)
@@ -185,6 +186,7 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)
@@ -302,7 +304,7 @@ def block_backward_dual(fr, fi, br, bi,
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *l_inv, *l_e, *s_inv, *s_e)
@@ -382,7 +384,7 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
             dimension_semantics=("arbitrary", "arbitrary"),
             # (1, X, 8, 128) blocks x 8 live buffers + Karatsuba temporaries
             # exceed the 16M default scoped-vmem at X=128; v5e has 128M VMEM
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)

@@ -90,6 +90,7 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xr, xi, k1, k2, k3, m1, m2, m3)

@@ -67,6 +67,7 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xr, xi, e1, e2, e3)

@@ -19,5 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DQC_TEST_TPU=1 keeps the real backend for the `tpu`-marked on-hardware
+# kernel regression tests (tests/test_tpu_kernels.py); everything else runs
+# on the virtual CPU mesh.
+if os.environ.get("DQC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
