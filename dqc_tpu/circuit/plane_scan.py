@@ -376,3 +376,136 @@ def _match_ct(ct, ref):
 
 
 plane_scanned_layers.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Plane density epilogue
+#
+# The usual tail of a model is a block of density requests on the final
+# state. The complex-engine path (fused_tape_forward) computes per-group
+# Grams with complex einsums whose XLA real-decomposition keeps many
+# full-state f32 temps live — the measured reason 29q fwd+grad exceeded HBM
+# (28.27G requested, 12.27G over; profile in BENCHMARKS.md). Here the Grams
+# are 3 real contractions per group straight off the planes, and the
+# backward seeds ``(L + L^H) conj(psi)`` apply with the plane kernels.
+# ---------------------------------------------------------------------------
+
+def plane_epilogue_eligible(epi_ftape: FusedTape, dtype) -> bool:
+    """Density-only tapes whose every request targets a single group."""
+    if not pl.plane_eligible(epi_ftape.n, dtype):
+        return False
+    for fi in epi_ftape.instructions:
+        if not isinstance(fi, FDensity):
+            return False
+        groups = {gr.group_of_bit(epi_ftape.n, p)[0] for p in fi.positions}
+        if len(groups) != 1:
+            return False
+    return True
+
+
+def use_plane_epilogue(epi_ftape: FusedTape, dtype) -> bool:
+    mode = config.plane_engine()
+    if mode is False or not plane_epilogue_eligible(epi_ftape, dtype):
+        return False
+    if mode is True:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
+    """Complex group Gram ``G[x,y] = sum_b t[x,b] conj(t[y,b])`` (the
+    group_gram/density convention, conj on the second factor) from planes:
+    3 real contractions; ``G = (A+B) + i(C^T - C)`` with A=xr.xr, B=xi.xi,
+    C[x,y]=sum xr[x] xi[y]."""
+    dims = gr.group_dims(n)
+    ax = len(dims) - 1 - j
+    sub = gr._LETTERS[: len(dims)]
+    o1 = sub[:ax] + "Z" + sub[ax + 1:]
+    spec = f"{o1},{sub}->Z{sub[ax]}"
+    hi = jax.lax.Precision.HIGHEST
+    vr = xr.reshape(dims)
+    vi = xi.reshape(dims)
+    A = jnp.einsum(spec, vr, vr, precision=hi)
+    B = jnp.einsum(spec, vi, vi, precision=hi)
+    C = jnp.einsum(spec, vr, vi, precision=hi)
+    return (A + B) + 1j * (C.T - C)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def plane_density_epilogue(epi_ftape: FusedTape, state):
+    """Diff-density matrices of a density-only tape on the final state —
+    the plane-engine replacement for ``fused_tape_forward(epi, state, (), ())``."""
+    densities, _ = _epilogue_fwd_impl(epi_ftape, state)
+    return densities
+
+
+def _epilogue_fwd_impl(epi_ftape, state):
+    n = epi_ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
+    grams: Dict[int, jax.Array] = {}
+    densities = []
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        G = grams.get(j)
+        if G is None:
+            G = _plane_gram(xr, xi, j, n)
+            grams[j] = G
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        densities.append(gr.density_from_gram(G, rels, sizes[j]))
+    return tuple(densities), (xr, xi)
+
+
+def _epi_fwd(epi_ftape, state):
+    densities, (xr, xi) = _epilogue_fwd_impl(epi_ftape, state)
+    dtype_token = jnp.zeros((), jnp.asarray(state).dtype)
+    return densities, (xr, xi, dtype_token)
+
+
+def _epi_bwd(epi_ftape, residuals, density_cts):
+    xr, xi, dtype_token = residuals
+    state_dtype = dtype_token.dtype
+    n = epi_ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+
+    # sum the (L + L^H) seed operators per group (cf. fused_autograd._bwd
+    # flush_seeds), then ONE plane apply per group on conj(psi)
+    pending: Dict[int, jax.Array] = {}
+    it = iter(density_cts)
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        ct = next(it)
+        d = 1 << len(fi.positions)
+        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+        sym = ct_m + ct_m.conj().T
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        E = gr.expand_in_group(sym, rels, sizes[j])
+        pending[j] = E if j not in pending else pending[j] + E
+
+    cxr, cxi = xr, -xi  # conj(psi) on planes (the negate fuses downstream)
+    bxr = bxi = None
+    for j, M in pending.items():
+        sr, si = pl.apply_block(cxr, cxi, M, j, n, interpret=interp)
+        bxr = sr if bxr is None else bxr + sr
+        bxi = si if bxi is None else bxi + si
+    if bxr is None:
+        return (jnp.zeros((1 << n,), state_dtype),)
+    return (pl.from_planes(bxr, bxi, n).astype(state_dtype),)
+
+
+plane_density_epilogue.defvjp(_epi_fwd, _epi_bwd)
+
+
+def epilogue_densities(epi_ftape: FusedTape, state):
+    """Dispatcher used by models: plane epilogue when eligible, else the
+    complex fused path."""
+    from dqc_tpu.circuit.fused_autograd import fused_tape_forward
+
+    if use_plane_epilogue(epi_ftape, jnp.asarray(state).dtype):
+        return plane_density_epilogue(epi_ftape, state)
+    return fused_tape_forward(epi_ftape, state, (), ())

@@ -125,7 +125,7 @@ class HardwareEfficientAnsatz:
     def magnetization(self, params: jax.Array) -> jax.Array:
         """Sum of <Z_i> — a simple fully-differentiable loss."""
         if self.scan:
-            from dqc_tpu.circuit.fused_autograd import fused_tape_forward
+            from dqc_tpu.circuit.plane_scan import epilogue_densities
             from dqc_tpu.circuit.scan import scanned_layers
             from dqc_tpu.ops.statevector import standard_state
 
@@ -134,7 +134,7 @@ class HardwareEfficientAnsatz:
                 self._layer_ftape, state, self._stacked_gates(params),
                 self._layer_consts,
             )
-            densities = fused_tape_forward(self._epi_ftape, state, (), ())
+            densities = epilogue_densities(self._epi_ftape, state)
         else:
             gates = self.params2gates(params)
             densities = self._autodiff_run(gates, self._const_gates)

@@ -114,7 +114,8 @@ class QAOAMaxCut:
 
     def _densities(self, params: jax.Array):
         if self.scan:
-            from dqc_tpu.circuit.fused_autograd import fused_run, fused_tape_forward
+            from dqc_tpu.circuit.fused_autograd import fused_run
+            from dqc_tpu.circuit.plane_scan import epilogue_densities
             from dqc_tpu.circuit.scan import scanned_layers
             from dqc_tpu.circuit.fusion import fuse_tape
             from dqc_tpu.ops.statevector import standard_state
@@ -129,7 +130,7 @@ class QAOAMaxCut:
             state = scanned_layers(
                 self._layer_ftape, state, self._stacked_gates(params), ()
             )
-            return fused_tape_forward(self._epi_ftape, state, (), ())
+            return epilogue_densities(self._epi_ftape, state)
         return self._autodiff_run(self.params2gates(params), self._const_gates)
 
     def expected_cut(self, params: jax.Array) -> jax.Array:

@@ -132,7 +132,8 @@ class VQEIsing:
     def energy(self, params: jax.Array) -> jax.Array:
         """TFIM energy estimate (real scalar), fully differentiable."""
         if self.scan:
-            from dqc_tpu.circuit.fused_autograd import fused_run, fused_tape_forward
+            from dqc_tpu.circuit.fused_autograd import fused_run
+            from dqc_tpu.circuit.plane_scan import epilogue_densities
             from dqc_tpu.circuit.scan import scanned_layers
             from dqc_tpu.ops.statevector import standard_state
 
@@ -141,7 +142,7 @@ class VQEIsing:
             state = scanned_layers(
                 self._layer_ftape, state, self._stacked_gates(params), ()
             )
-            densities = fused_tape_forward(self._epi_ftape, state, (), ())
+            densities = epilogue_densities(self._epi_ftape, state)
         else:
             densities = self._autodiff_run(
                 self.params2gates(params), self._const_gates
@@ -204,10 +205,20 @@ class VQEIsing:
         const_gates = tuple(self._const_gates)
         h = self.h
 
+        from dqc_tpu.parallel.plane_scan import (
+            dist_plane_scanned_layers, use_dist_plane_engine,
+        )
+
+        scan_layers = (
+            dist_plane_scanned_layers
+            if use_dist_plane_engine(layer_prog, dtype)
+            else dist_scanned_layers
+        )
+
         def body(stacked):
             local = pdist.local_standard_state(n, k, axis, dtype)
             _, local = dist_fused_run(pro_prog, axis, local, (), const_gates)
-            local = dist_scanned_layers(layer_prog, axis, local, stacked, ())
+            local = scan_layers(layer_prog, axis, local, stacked, ())
             densities = dist_fused_forward(epi_prog, axis, local, (), ())
             e = sum(jnp.einsum("ij,ji->", dm, h) for dm in densities)
             return e.real

@@ -131,6 +131,27 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                                    interpret=interpret)
 
 
+def _apply_high_smallx(vxr, vxi, er, ei, X: int):
+    """Tiny contracted axis (X < 8, e.g. a 1-2 bit top group): the operator
+    entries are scalars, so the apply is a linear combination of axis slices
+    — pure elementwise multiply-adds that XLA fuses into ONE state pass
+    (an einsum here materializes full-state temps per Karatsuba term; at 29
+    qubits those 2 GB temps were the HBM-OOM driver, see BENCHMARKS.md)."""
+    er = jnp.asarray(er)
+    ei = jnp.asarray(ei)
+    outr, outi = [], []
+    for x in range(X):
+        accr = acci = None
+        for y in range(X):
+            tr = er[x, y] * vxr[:, y] - ei[x, y] * vxi[:, y]
+            ti = er[x, y] * vxi[:, y] + ei[x, y] * vxr[:, y]
+            accr = tr if accr is None else accr + tr
+            acci = ti if acci is None else acci + ti
+        outr.append(accr)
+        outi.append(acci)
+    return jnp.stack(outr, axis=1), jnp.stack(outi, axis=1)
+
+
 def apply_high(xr, xi, E, j: int, n: int, *, interpret: bool = False):
     """Dense full-group operator on high group ``j >= 2`` (one pass)."""
     pre, X, M = _high_view(n, j)
@@ -142,13 +163,7 @@ def apply_high(xr, xi, E, j: int, n: int, *, interpret: bool = False):
                                          dot_mode=config.kernel_dot_mode(),
                                          interpret=interpret)
     else:
-        # tiny top group: real-pair einsum (Karatsuba, 3 contractions)
-        e1, e2, e3 = er, er + ei, ei - er
-        hi = jax.lax.Precision.HIGHEST
-        t1 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e1), vxr + vxi, precision=hi)
-        t2 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e2), vxi, precision=hi)
-        t3 = jnp.einsum("xy,pymc->pxmc", jnp.asarray(e3), vxr, precision=hi)
-        yr, yi = t1 - t2, t1 + t3
+        yr, yi = _apply_high_smallx(vxr, vxi, er, ei, X)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
@@ -275,18 +290,23 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
             interpret=interpret)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
                 br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
-    # tiny top group: three real-pair einsum passes (XLA)
+    # tiny top group: fusable elementwise formulation (see _apply_high_smallx)
     fr, fi = apply_high(fxr, fxi, Einv, j, n, interpret=interpret)
-    hi = jax.lax.Precision.HIGHEST
     vfr = fr.reshape(shape4)
     vfi = fi.reshape(shape4)
     vbr = bxr.reshape(shape4)
     vbi = bxi.reshape(shape4)
-    t0r = (jnp.einsum("pxmc,pymc->xy", vbr, vfr, precision=hi)
-           - jnp.einsum("pxmc,pymc->xy", vbi, vfi, precision=hi))
-    t0i = (jnp.einsum("pxmc,pymc->xy", vbr, vfi, precision=hi)
-           + jnp.einsum("pxmc,pymc->xy", vbi, vfr, precision=hi))
+    # T0[x, y] = sum_batch bwd[x] fwd_in[y]: X^2 fused multiply-reduces
+    rows = []
+    for x in range(X):
+        row = []
+        for y in range(X):
+            tr = jnp.sum(vbr[:, x] * vfr[:, y]) - jnp.sum(vbi[:, x] * vfi[:, y])
+            ti = jnp.sum(vbr[:, x] * vfi[:, y]) + jnp.sum(vbi[:, x] * vfr[:, y])
+            row.append(tr + 1j * ti)
+        rows.append(jnp.stack(row))
+    T0 = jnp.stack(rows)
     ETr, ETi = op_planes(E)
     ET = (jnp.asarray(ETr) + 1j * jnp.asarray(ETi)).T
     br, bi = apply_high(bxr, bxi, ET, j, n, interpret=interpret)
-    return fr, fi, br, bi, t0r + 1j * t0i
+    return fr, fi, br, bi, T0

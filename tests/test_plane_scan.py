@@ -245,3 +245,124 @@ def test_ineligible_tapes_fall_back():
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
     finally:
         config.set_plane_engine("auto")
+
+
+def test_plane_epilogue_parity():
+    """plane_density_epilogue (3 real contractions per group + plane seed
+    applies) vs the complex fused path: densities AND state cotangent."""
+    from dqc_tpu.circuit.fused_autograd import fused_tape_forward
+    from dqc_tpu.circuit.plane_scan import (
+        plane_density_epilogue,
+        plane_epilogue_eligible,
+    )
+
+    n = 15
+    epi = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        epi.get_q1_dens_op_with_grad(i)
+    epi.get_q2_dens_op_with_grad(5, 2)    # in-group 2q
+    epi.get_q2_dens_op_with_grad(13, 8)   # in-group (group 1)
+    epi_ft = fuse_tape(epi.tape)
+    assert plane_epilogue_eligible(epi_ft, C64)
+
+    state = rand_state(n, seed=4)
+
+    def loss_with(fn):
+        def loss(s):
+            dens = fn(s)
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+        return loss
+
+    v_p, g_p = jax.value_and_grad(
+        loss_with(lambda s: plane_density_epilogue(epi_ft, s)))(state)
+    v_r, g_r = jax.value_and_grad(
+        loss_with(lambda s: fused_tape_forward(epi_ft, s, (), ())))(state)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_plane_epilogue_eligibility():
+    from dqc_tpu.circuit.plane_scan import plane_epilogue_eligible
+
+    n = 16
+    epi = AutoGradCircuit(n, dtype=C64)
+    epi.get_q2_dens_op_with_grad(8, 3)  # cross-group density
+    assert not plane_epilogue_eligible(fuse_tape(epi.tape), C64)
+    epi2 = AutoGradCircuit(n, dtype=C64)
+    epi2.add_q1_const_gate(0)           # gates -> not an epilogue tape
+    epi2.get_q1_dens_op_with_grad(0)
+    assert not plane_epilogue_eligible(fuse_tape(epi2.tape), C64)
+
+
+def test_distributed_plane_scan_parity(plane_mode):
+    """dist_plane_scanned_layers == dist_scanned_layers (value + grads) on an
+    8-device virtual mesh at 17 qubits (14 local)."""
+    from jax.sharding import PartitionSpec as P
+    from dqc_tpu.parallel import dist as pdist, make_mesh
+    from dqc_tpu.parallel.plane_scan import (
+        dist_plane_eligible,
+        dist_plane_scanned_layers,
+    )
+    from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
+
+    n, k, L = 17, 3, 2
+    mesh = make_mesh(8)
+    axis = mesh.axis_names[0]
+
+    layer = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        layer.add_q1_var_gate(i)
+    for i in range(n - 1):
+        layer.add_q2_var_gate_diag(i, i + 1)
+    prog = plan_layer_roundtrip(layer.tape, k)
+    assert dist_plane_eligible(prog, C64)
+
+    rng = np.random.default_rng(7)
+    stacked = tuple(
+        jnp.asarray(np.stack([rand_su2(rng) for _ in range(L)]))
+        for _ in range(n)
+    ) + tuple(
+        jnp.asarray(np.stack([
+            np.exp(1j * rng.normal() * np.array([1, -1, -1, 1])).astype(np.complex64)
+            for _ in range(L)]))
+        for _ in range(n - 1)
+    )
+
+    def make_fn(layers_fn):
+        def shard_fn(stacked_gates):
+            local = pdist.local_standard_state(n, k, axis, C64)
+            local = layers_fn(prog, axis, local, stacked_gates, ())
+            # scalar readout: local norm contribution of the first amplitudes
+            return jax.lax.psum(jnp.sum(jnp.abs(local[:128]) ** 2), axis)
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), stacked),),
+            out_specs=P(), check_vma=False)
+        return lambda sg: fn(sg).real
+
+    v_p, g_p = jax.value_and_grad(make_fn(dist_plane_scanned_layers))(stacked)
+    v_r, g_r = jax.value_and_grad(make_fn(dist_scanned_layers))(stacked)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
+
+
+def test_distributed_plane_vqe_dispatch(plane_mode):
+    """The model-level distributed energy routes through the plane engine
+    when forced on and matches the complex engine."""
+    from dqc_tpu.models.vqe_ising import VQEIsing
+    from dqc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    model = VQEIsing(qubits_number=17, layers_number=2, dtype=C64, scan=True)
+    params = model.init_params(jax.random.PRNGKey(5))
+    e_plane = model.build_distributed_energy(mesh, scan=True)
+    v_p, g_p = jax.value_and_grad(e_plane)(params)
+    config.set_plane_engine(False)
+    e_ref = model.build_distributed_energy(mesh, scan=True)
+    v_r, g_r = jax.value_and_grad(e_ref)(params)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=3e-4, atol=2e-5)
