@@ -25,7 +25,10 @@ import jax.numpy as jnp
 
 
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
-QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "29,28,26,24").split(",")]
+# 29q fwd+grad is a profiled HBM OOM on one v5e (BENCHMARKS.md "29-qubit
+# single-chip profile"): the reverse-scan (fwd,bwd) carry floor exceeds
+# 15.75 GB. 28q is the single-chip ceiling; probe 29q with tools/mem29.py.
+QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
 LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "8"))
 REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
 
