@@ -179,6 +179,12 @@ class AutoGradCircuit:
                 return list(densities)
 
             def _run_diff(vg, cg):
+                from dqc_tpu.circuit.plane_scan import plane_tape_forward, use_plane_tape
+
+                if use_plane_tape(ftape, self.dtype):
+                    # Pallas plane-layout engine (TPU default for >=14
+                    # qubits, complex64; see circuit/plane_scan.py)
+                    return list(plane_tape_forward(ftape, make_init(), vg, cg))
                 return list(fused_tape_forward(ftape, make_init(), vg, cg))
         else:
             def _run_all(vg, cg):

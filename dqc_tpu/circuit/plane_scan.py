@@ -509,3 +509,218 @@ def epilogue_densities(epi_ftape: FusedTape, state):
     if use_plane_epilogue(epi_ftape, jnp.asarray(state).dtype):
         return plane_density_epilogue(epi_ftape, state)
     return fused_tape_forward(epi_ftape, state, (), ())
+
+
+# ---------------------------------------------------------------------------
+# Generic plane tape execution (the direct build() path)
+#
+# The scan engine above covers layered models; this executes an ARBITRARY
+# fused tape — gates and density requests interleaved — on planes, making
+# the Pallas kernels the default engine for any eligible circuit built
+# through the reference-compatible AutoGradCircuit API (the reference's
+# entire use case, circuit.py:160-202).
+# ---------------------------------------------------------------------------
+
+def plane_full_tape_eligible(ftape: FusedTape, dtype) -> bool:
+    """Gates + densities: plane-executable when every cross-group gate is a
+    <=2-group diagonal and every density targets one group."""
+    if not pl.plane_eligible(ftape.n, dtype):
+        return False
+    for fi in ftape.instructions:
+        if isinstance(fi, FDensity):
+            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
+            if len(groups) != 1:
+                return False
+        elif isinstance(fi, FCross):
+            if not fi.diag:
+                return False
+            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
+            if len(groups) > 2:
+                return False
+    return True
+
+
+def use_plane_tape(ftape: FusedTape, dtype) -> bool:
+    mode = config.plane_engine()
+    if mode is False or not plane_full_tape_eligible(ftape, dtype):
+        return False
+    if mode is True:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
+                    *, stop_after: Optional[int] = None):
+    """Forward execution collecting diff densities; returns
+    ``(densities, (xr, xi))`` with the planes at the stop point."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    pairs = schedule_dual_pairs(ftape)
+    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
+    densities = []
+    gram_cache: Dict[int, jax.Array] = {}
+    interp = _interpret()
+    for i, j in pairs:
+        if stop_after is not None and i > stop_after:
+            break
+        fi = ftape.instructions[i]
+        if isinstance(fi, FDensity):
+            if fi.diff:
+                jg = gr.group_of_bit(n, fi.positions[0])[0]
+                G = gram_cache.get(jg)
+                if G is None:
+                    G = _plane_gram(xr, xi, jg, n)
+                    gram_cache[jg] = G
+                rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+                densities.append(gr.density_from_gram(G, rels, sizes[jg]))
+            continue
+        gram_cache.clear()
+        if isinstance(fi, FCross):
+            table2, ja, jb = gr.cross_diag_table(
+                _cross_gate(fi, var_gates, const_gates).reshape(-1),
+                fi.positions, n)
+            xr, xi = pl.apply_cross_diag(xr, xi, table2, ja, jb, n)
+            continue
+        assert isinstance(fi, FBlock)
+        if fi.all_diag:
+            table = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+            xr, xi = pl.apply_diag_axis(xr, xi, table, fi.group, n)
+            continue
+        E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+        if j is not None and (stop_after is None or j <= stop_after):
+            fj = ftape.instructions[j]
+            Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
+            E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
+            xr, xi = pl.apply_dual(xr, xi, E0, E1, interpret=interp)
+        else:
+            xr, xi = pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
+    return tuple(densities), (xr, xi)
+
+
+def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
+    """Roll the forward planes back through one instruction without touching
+    a cotangent (the reference's trailing-gate path, circuit.rs:327-332)."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+    if isinstance(fi, FCross):
+        d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+        ctx = f"cross-group diag gate, queue index {fi.queue_idx}"
+        inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary, ctx),
+                                             fi.positions, n)
+        return pl.apply_cross_diag(fxr, fxi, inv_t2, ja, jb, n)
+    g = sizes[fi.group]
+    if fi.all_diag:
+        inv_table = _block_operator(fi, var_gates, const_gates, g, inverse=True)
+        return pl.apply_diag_axis(fxr, fxi, inv_table, fi.group, n)
+    Einv = _block_operator(fi, var_gates, const_gates, g, inverse=True, reverse=True)
+    return pl.apply_block(fxr, fxi, Einv, fi.group, n, interpret=interp)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def plane_tape_forward(ftape: FusedTape, initial_state, var_gates, const_gates):
+    """Differentiable plane-engine execution of a full fused tape, returning
+    the diff-density matrices — the Pallas counterpart of
+    fused_autograd.fused_tape_forward (same contract)."""
+    densities, _ = _plane_run_diff(ftape, initial_state, var_gates, const_gates)
+    return densities
+
+
+def _pt_fwd(ftape, initial_state, var_gates, const_gates):
+    last = ftape.last_diff_density_index()
+    densities, (xr, xi) = _plane_run_diff(
+        ftape, initial_state, var_gates, const_gates,
+        stop_after=last if last >= 0 else -1)
+    if last < 0:
+        xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), ftape.n)
+    dtype_token = jnp.zeros((), jnp.asarray(initial_state).dtype)
+    return densities, (xr, xi, dtype_token, var_gates, const_gates)
+
+
+def _pt_bwd(ftape, residuals, density_cts):
+    fxr, fxi, dtype_token, var_gates, const_gates = residuals
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    last = ftape.last_diff_density_index()
+    interp = _interpret()
+
+    diff_indices = [
+        i for i, fi in enumerate(ftape.instructions)
+        if isinstance(fi, FDensity) and fi.diff
+    ]
+    ct_of = dict(zip(diff_indices, density_cts))
+
+    bxr = bxi = None
+    var_cts: Dict[int, jax.Array] = {}
+    pending: Dict[int, jax.Array] = {}  # group -> summed seed operator
+
+    def flush_seeds(fxr, fxi, bxr, bxi):
+        # all density cotangents at one circuit point seed the same
+        # conj(psi): sum the (L + L^H) operators per group, apply ONCE per
+        # group on planes (fused_autograd._bwd flush_seeds, on planes)
+        if not pending:
+            return bxr, bxi
+        cxr, cxi = fxr, -fxi
+        for jg, M in pending.items():
+            sr, si = pl.apply_block(cxr, cxi, M, jg, n, interpret=interp)
+            bxr = sr if bxr is None else bxr + sr
+            bxi = si if bxi is None else bxi + si
+        pending.clear()
+        return bxr, bxi
+
+    # exact reverse of the forward execution plan up to `last`
+    rev_plan = [
+        (i, j) for i, j in reversed(schedule_dual_pairs(ftape))
+        if i <= last
+    ]
+    for i, j in rev_plan:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FDensity):
+            if not fi.diff:
+                continue
+            ct = ct_of[i]
+            d = 1 << len(fi.positions)
+            ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+            sym = ct_m + ct_m.conj().T
+            jg = gr.group_of_bit(n, fi.positions[0])[0]
+            rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+            E = gr.expand_in_group(sym, rels, sizes[jg])
+            pending[jg] = E if jg not in pending else pending[jg] + E
+            continue
+
+        bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)
+        if bxr is None:
+            # before any seed: uncompute only (zero-grad trailing gates)
+            fxr, fxi = _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates)
+            if j is not None:
+                fxr, fxi = _uncompute_only(
+                    fxr, fxi, ftape.instructions[j], ftape, var_gates, const_gates)
+            continue
+        if j is None:
+            fxr, fxi, bxr, bxi = _backward_step(
+                fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates, var_cts)
+        else:
+            fxr, fxi, bxr, bxi = _backward_dual_step(
+                fxr, fxi, bxr, bxi, fi, ftape.instructions[j], ftape,
+                var_gates, const_gates, var_cts)
+    bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)
+
+    state_dtype = dtype_token.dtype
+    if bxr is None:
+        state_ct = jnp.zeros((1 << n,), state_dtype)
+    else:
+        state_ct = pl.from_planes(bxr, bxi, n).astype(state_dtype)
+
+    out_var_cts = []
+    for qidx, ref_gate in enumerate(var_gates):
+        ref_arr = jnp.asarray(ref_gate)
+        ct = var_cts.get(qidx)
+        if ct is None:
+            out_var_cts.append(jnp.zeros_like(ref_arr))
+        else:
+            out_var_cts.append(_match_ct(ct, ref_arr))
+    const_cts = tuple(jnp.zeros_like(jnp.asarray(g_)) for g_ in const_gates)
+    return state_ct, tuple(out_var_cts), const_cts
+
+
+plane_tape_forward.defvjp(_pt_fwd, _pt_bwd)

@@ -366,3 +366,120 @@ def test_distributed_plane_vqe_dispatch(plane_mode):
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
                                rtol=3e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Generic plane tape execution (the direct build() path)
+# ---------------------------------------------------------------------------
+
+def build_generic_tape(n, seed=0):
+    """Gates + interleaved densities, every plane-eligible instruction kind:
+    dense/diag x var/const x unitary/nonu, in-group + cross-group diagonals,
+    densities at several circuit points, trailing var gates (zero grads)."""
+    rng = np.random.default_rng(seed)
+    c = AutoGradCircuit(n, dtype=C64)
+    var_gates, const_gates = [], []
+
+    def add_rot(i, nonu=False):
+        m = rand_su2(rng)
+        if nonu:
+            m = m + 0.05 * rng.normal(size=4).astype(np.float32)
+            c.add_q1_var_gate_nonu(i)
+        else:
+            c.add_q1_var_gate(i)
+        var_gates.append(jnp.asarray(m))
+
+    for i in range(n):
+        add_rot(i, nonu=(i == 3))
+    c.get_q1_dens_op_with_grad(0)          # density mid-circuit
+    c.get_q1_dens_op_with_grad(n - 1)
+    for i in range(0, n - 1, 2):
+        c.add_q2_var_gate_diag(i, i + 1)   # in/cross-group diagonals
+        var_gates.append(jnp.asarray(
+            np.exp(1j * rng.normal() * np.array([1, -1, -1, 1])).astype(np.complex64)))
+    cz = np.array([1, 1, 1, -1], dtype=np.complex64)
+    c.add_q2_const_gate_diag(0, n - 1)
+    const_gates.append(jnp.asarray(cz))
+    c.get_q2_dens_op_with_grad(1, 0)       # 2q in-group density
+    c.get_q1_dens_op(2)                    # non-diff density (ignored by autodiff)
+    add_rot(1)                             # trailing var gate -> zero grad
+    return c, tuple(var_gates), tuple(const_gates)
+
+
+@pytest.mark.parametrize("n", [14, 16])
+def test_plane_tape_forward_parity(n):
+    from dqc_tpu.circuit.plane_scan import plane_full_tape_eligible, plane_tape_forward
+
+    c, var_gates, const_gates = build_generic_tape(n, seed=n)
+    ftape = fuse_tape(c.tape)
+    assert plane_full_tape_eligible(ftape, C64)
+    init = jnp.asarray(c.initial_state())
+
+    def loss_with(fn):
+        def loss(vg, init_state):
+            dens = fn(ftape, init_state, vg, const_gates)
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+        return loss
+
+    v_r, g_r = jax.value_and_grad(
+        loss_with(fused_tape_forward), argnums=(0, 1))(var_gates, init)
+    from dqc_tpu.circuit.plane_scan import plane_tape_forward as ptf
+    v_p, g_p = jax.value_and_grad(
+        loss_with(ptf), argnums=(0, 1))(var_gates, init)
+
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
+
+
+def test_plane_tape_trailing_zero_grads(plane_mode):
+    """Var gates after the last diff density get exactly zero gradient
+    through the plane engine (reference circuit.rs:327-332 semantics)."""
+    from dqc_tpu.circuit.plane_scan import plane_tape_forward
+
+    n = 14
+    c = AutoGradCircuit(n, dtype=C64)
+    c.add_q1_var_gate(0)
+    c.get_q1_dens_op_with_grad(0)
+    c.add_q1_var_gate(1)       # trailing
+    c.add_q2_var_gate_diag(6, 7)  # trailing cross diag
+    ftape = fuse_tape(c.tape)
+    rng = np.random.default_rng(0)
+    vg = (jnp.asarray(rand_su2(rng)), jnp.asarray(rand_su2(rng)),
+          jnp.asarray(np.exp(1j * 0.3 * np.array([1, -1, -1, 1])).astype(np.complex64)))
+    init = standard_state(n, C64)
+
+    def loss(vg):
+        dens = plane_tape_forward(ftape, init, vg, ())
+        return jnp.sum(jnp.abs(dens[0]) ** 2).real
+
+    g = jax.grad(loss)(vg)
+    assert np.any(np.abs(np.asarray(g[0])) > 1e-3)
+    np.testing.assert_array_equal(np.asarray(g[1]), 0)
+    np.testing.assert_array_equal(np.asarray(g[2]), 0)
+
+
+def test_build_dispatches_plane_engine(plane_mode):
+    """The public build() autodiff path routes through the plane engine when
+    forced on (and matches the complex engine)."""
+    c, var_gates, const_gates = build_generic_tape(14, seed=1)
+    _, run = c.build()
+
+    def loss(vg):
+        dens = run(list(vg), list(const_gates))
+        return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+
+    v_p, g_p = jax.value_and_grad(loss)(var_gates)
+    config.set_plane_engine(False)
+    _, run2 = c.build()
+
+    def loss2(vg):
+        dens = run2(list(vg), list(const_gates))
+        return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+
+    v_r, g_r = jax.value_and_grad(loss2)(var_gates)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
