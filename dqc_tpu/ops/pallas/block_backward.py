@@ -211,8 +211,9 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
     t0s_r = jnp.zeros((128, 128), F32)
     t0s_i = jnp.zeros((128, 128), F32)
 
-    def lane_step(fr, fi, br, bi, accum):
-        # fwd_in = fwd @ E0inv^T; T0_lane = pair gram over rows; bwd' = bwd @ E0
+    def lane_full(fr, fi, br, bi, accum):
+        # lane ops act on the full (a_blk*128, 128) tile at once — one big
+        # GEMM per dot instead of a_blk MXU-fill-bound 128^3 dots
         u1 = dot(fr + fi, l_inv1[:])
         u2 = dot(fi, l_inv2[:])
         u3 = dot(fr, l_inv3[:])
@@ -226,6 +227,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
 
     def sub_step(fr, fi, br, bi, accum):
         # fwd_in = E1inv @ fwd; T0_sub over columns; bwd' = E1^T @ bwd
+        # (left-multiplies: inherently per a-slice)
         u1 = dot(s_inv1[:], fr + fi)
         u2 = dot(s_inv2[:], fi)
         u3 = dot(s_inv3[:], fr)
@@ -237,20 +239,45 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
         v3 = dot(s_e3[:], br)
         return f1r, f1i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
 
-    for a in range(a_blk):
-        fr, fi = fr_ref[a], fi_ref[a]
-        br, bi = br_ref[a], bi_ref[a]
-        if g0_first:
-            # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
-            fr, fi, br, bi, t0s_r, t0s_i = sub_step(fr, fi, br, bi, (t0s_r, t0s_i))
-            fr, fi, br, bi, t0l_r, t0l_i = lane_step(fr, fi, br, bi, (t0l_r, t0l_i))
-        else:
-            fr, fi, br, bi, t0l_r, t0l_i = lane_step(fr, fi, br, bi, (t0l_r, t0l_i))
-            fr, fi, br, bi, t0s_r, t0s_i = sub_step(fr, fi, br, bi, (t0s_r, t0s_i))
-        fir_ref[a, :, :] = fr
-        fii_ref[a, :, :] = fi
-        bnr_ref[a, :, :] = br
-        bni_ref[a, :, :] = bi
+    if g0_first:
+        # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
+        # (per slice, staged through the output refs), then lane on the tile
+        for a in range(a_blk):
+            f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
+                fr_ref[a], fi_ref[a], br_ref[a], bi_ref[a], (t0s_r, t0s_i))
+            fir_ref[a, :, :] = f1r
+            fii_ref[a, :, :] = f1i
+            bnr_ref[a, :, :] = b1r
+            bni_ref[a, :, :] = b1i
+        fr = fir_ref[:].reshape(-1, 128)
+        fi = fii_ref[:].reshape(-1, 128)
+        br = bnr_ref[:].reshape(-1, 128)
+        bi = bni_ref[:].reshape(-1, 128)
+        f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
+                                                     (t0l_r, t0l_i))
+        fir_ref[:] = f0r.reshape(fir_ref.shape)
+        fii_ref[:] = f0i.reshape(fii_ref.shape)
+        bnr_ref[:] = b0r.reshape(bnr_ref.shape)
+        bni_ref[:] = b0i.reshape(bni_ref.shape)
+    else:
+        # tape order [B1(sublane), B0(lane)] -> lane first on the full tile
+        fr = fr_ref[:].reshape(-1, 128)
+        fi = fi_ref[:].reshape(-1, 128)
+        br = br_ref[:].reshape(-1, 128)
+        bi = bi_ref[:].reshape(-1, 128)
+        f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
+                                                     (t0l_r, t0l_i))
+        fir_ref[:] = f0r.reshape(fir_ref.shape)
+        fii_ref[:] = f0i.reshape(fii_ref.shape)
+        bnr_ref[:] = b0r.reshape(bnr_ref.shape)
+        bni_ref[:] = b0i.reshape(bni_ref.shape)
+        for a in range(a_blk):
+            f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
+                fir_ref[a], fii_ref[a], bnr_ref[a], bni_ref[a], (t0s_r, t0s_i))
+            fir_ref[a, :, :] = f1r
+            fii_ref[a, :, :] = f1i
+            bnr_ref[a, :, :] = b1r
+            bni_ref[a, :, :] = b1i
 
     @pl.when(pl.program_id(0) == 0)
     def _():

@@ -349,6 +349,7 @@ def test_distributed_plane_scan_parity(plane_mode):
                                    rtol=3e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_distributed_plane_vqe_dispatch(plane_mode):
     """The model-level distributed energy routes through the plane engine
     when forced on and matches the complex engine."""
@@ -406,7 +407,7 @@ def build_generic_tape(n, seed=0):
     return c, tuple(var_gates), tuple(const_gates)
 
 
-@pytest.mark.parametrize("n", [14, 16])
+@pytest.mark.parametrize("n", [14, pytest.param(16, marks=pytest.mark.slow)])
 def test_plane_tape_forward_parity(n):
     from dqc_tpu.circuit.plane_scan import plane_full_tape_eligible, plane_tape_forward
 
