@@ -484,3 +484,28 @@ def test_build_dispatches_plane_engine(plane_mode):
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_vmap_over_plane_engine(plane_mode):
+    """The plane engine composes with vmap (Pallas batching): batched
+    parameters through the public build() path."""
+    n = 14
+    c = AutoGradCircuit(n, dtype=C64)
+    c.add_q1_var_gate(0)
+    c.add_q2_var_gate_diag(6, 7)
+    c.get_q1_dens_op_with_grad(1)
+    _, run = c.build()
+
+    def loss(theta):
+        g = jnp.stack([jnp.cos(theta), -jnp.sin(theta),
+                       jnp.sin(theta), jnp.cos(theta)]).astype(C64)
+        d = jnp.exp(1j * theta * jnp.asarray([1., -1, -1, 1])).astype(C64)
+        dens = run([g, d], [])
+        return jnp.sum(jnp.abs(dens[0]) ** 2).real
+
+    thetas = jnp.asarray(np.linspace(0.1, 0.5, 3), F32)
+    vals = jax.vmap(loss)(thetas)
+    grads = jax.vmap(jax.grad(loss))(thetas)
+    seq_vals = [float(loss(t)) for t in thetas]
+    np.testing.assert_allclose(np.asarray(vals), seq_vals, rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(grads)))
