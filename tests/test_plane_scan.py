@@ -509,3 +509,57 @@ def test_vmap_over_plane_engine(plane_mode):
     seq_vals = [float(loss(t)) for t in thetas]
     np.testing.assert_allclose(np.asarray(vals), seq_vals, rtol=1e-5)
     assert np.all(np.isfinite(np.asarray(grads)))
+
+
+def test_plane_tape_edge_cases(plane_mode):
+    """Degenerate tapes through the plane engine: density before any gate,
+    no densities at all, multiple densities at one point (shared Gram)."""
+    from dqc_tpu.circuit.plane_scan import plane_tape_forward
+
+    n = 14
+    rng = np.random.default_rng(2)
+
+    # density-first: the state cotangent flows straight to the input
+    c = AutoGradCircuit(n, dtype=C64)
+    c.get_q1_dens_op_with_grad(0)
+    c.add_q1_var_gate(0)  # trailing, zero grad
+    ftape = fuse_tape(c.tape)
+    init = rand_state(n, seed=1)
+    vg = (jnp.asarray(rand_su2(rng)),)
+
+    def loss(init_state, vgates):
+        dens = plane_tape_forward(ftape, init_state, vgates, ())
+        return jnp.sum(jnp.abs(dens[0]) ** 2).real
+
+    (g_init, g_v) = jax.grad(loss, argnums=(0, 1))(init, vg)
+    def loss_ref(init_state, vgates):
+        dens = fused_tape_forward(ftape, init_state, vgates, ())
+        return jnp.sum(jnp.abs(dens[0]) ** 2).real
+    (r_init, r_v) = jax.grad(loss_ref, argnums=(0, 1))(init, vg)
+    np.testing.assert_allclose(np.asarray(g_init), np.asarray(r_init),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(g_v[0]), 0)
+    np.testing.assert_array_equal(np.asarray(r_v[0]), 0)
+
+    # no densities: empty output, zero grads everywhere
+    c2 = AutoGradCircuit(n, dtype=C64)
+    c2.add_q1_var_gate(0)
+    ftape2 = fuse_tape(c2.tape)
+    dens = plane_tape_forward(ftape2, init, vg, ())
+    assert dens == ()
+
+    # several densities at one point share one Gram sweep and all get grads
+    c3 = AutoGradCircuit(n, dtype=C64)
+    c3.add_q1_var_gate(0)
+    for i in range(5):
+        c3.get_q1_dens_op_with_grad(i)
+    ftape3 = fuse_tape(c3.tape)
+
+    def loss3(vgates, fn):
+        dens = fn(ftape3, init, vgates, ())
+        return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+
+    g3 = jax.grad(lambda v: loss3(v, plane_tape_forward))(vg)
+    r3 = jax.grad(lambda v: loss3(v, fused_tape_forward))(vg)
+    np.testing.assert_allclose(np.asarray(g3[0]), np.asarray(r3[0]),
+                               rtol=2e-4, atol=2e-5)
