@@ -52,16 +52,20 @@ def _kernel(a_blk, dot_mode,
     fii_ref[:] = fii.reshape(fii_ref.shape)
 
     # bwd' = bwd @ E   (transport by E^T on the lane axis)
-    v1 = dot(br + bi, e_t1[:])
+    sb = br + bi
+    v1 = dot(sb, e_t1[:])
     v2 = dot(bi, e_t2[:])
     v3 = dot(br, e_t3[:])
     bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape)
     bni_ref[:] = (v1 + v3).reshape(bni_ref.shape)
 
-    # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram;
-    # direct 4-dot form: T0 is tiny, the extra dot is cheap)
-    t0r = dot(br.T, fir) - dot(bi.T, fii)
-    t0i = dot(br.T, fii) + dot(bi.T, fir)
+    # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram)
+    # Karatsuba, reusing the transport's (br+bi) operand: 3 dots, not 4
+    p1 = dot(br.T, fir)
+    p2 = dot(bi.T, fii)
+    p3 = dot(sb.T, fir + fii)
+    t0r = p1 - p2
+    t0i = p3 - p1 - p2
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -136,14 +140,19 @@ def _kernel_sub(a_blk, dot_mode,
         fir_ref[a, :, :] = fir
         fii_ref[a, :, :] = fii
         # bwd' = E^T @ bwd
-        v1 = dot(e1[:], br + bi)
+        sb = br + bi
+        v1 = dot(e1[:], sb)
         v2 = dot(e2[:], bi)
         v3 = dot(e3[:], br)
         bnr_ref[a, :, :] = v1 - v2
         bni_ref[a, :, :] = v1 + v3
         # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
-        t0r_acc += dot(br, fir.T) - dot(bi, fii.T)
-        t0i_acc += dot(br, fii.T) + dot(bi, fir.T)
+        # Karatsuba (3 dots), reusing the transport's (br+bi) operand
+        p1 = dot(br, fir.T)
+        p2 = dot(bi, fii.T)
+        p3 = dot(sb, (fir + fii).T)
+        t0r_acc += p1 - p2
+        t0i_acc += p3 - p1 - p2
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -218,9 +227,13 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
         u2 = dot(fi, l_inv2[:])
         u3 = dot(fr, l_inv3[:])
         f0r, f0i = u1 - u2, u1 + u3
-        tr = dot(br.T, f0r) - dot(bi.T, f0i)
-        ti = dot(br.T, f0i) + dot(bi.T, f0r)
-        v1 = dot(br + bi, l_e1[:])
+        sb = br + bi
+        p1 = dot(br.T, f0r)
+        p2 = dot(bi.T, f0i)
+        p3 = dot(sb.T, f0r + f0i)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        v1 = dot(sb, l_e1[:])
         v2 = dot(bi, l_e2[:])
         v3 = dot(br, l_e3[:])
         return f0r, f0i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
@@ -232,9 +245,13 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
         u2 = dot(s_inv2[:], fi)
         u3 = dot(s_inv3[:], fr)
         f1r, f1i = u1 - u2, u1 + u3
-        tr = dot(br, f1r.T) - dot(bi, f1i.T)
-        ti = dot(br, f1i.T) + dot(bi, f1r.T)
-        v1 = dot(s_e1[:], br + bi)
+        sb = br + bi
+        p1 = dot(br, f1r.T)
+        p2 = dot(bi, f1i.T)
+        p3 = dot(sb, (f1r + f1i).T)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        v1 = dot(s_e1[:], sb)
         v2 = dot(s_e2[:], bi)
         v3 = dot(s_e3[:], br)
         return f1r, f1i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
@@ -357,14 +374,19 @@ def _kernel_high(x_dim, dot_mode,
     fir_ref[0] = fir.reshape(fir_ref.shape[1:])
     fii_ref[0] = fii.reshape(fii_ref.shape[1:])
 
-    v1 = dot(e1[:], br + bi)
+    sb = br + bi
+    v1 = dot(e1[:], sb)
     v2 = dot(e2[:], bi)
     v3 = dot(e3[:], br)
     bnr_ref[0] = (v1 - v2).reshape(bnr_ref.shape[1:])
     bni_ref[0] = (v1 + v3).reshape(bni_ref.shape[1:])
 
-    t0r = dot(br, fir.T) - dot(bi, fii.T)
-    t0i = dot(br, fii.T) + dot(bi, fir.T)
+    # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
+    p1 = dot(br, fir.T)
+    p2 = dot(bi, fii.T)
+    p3 = dot(sb, (fir + fii).T)
+    t0r = p1 - p2
+    t0i = p3 - p1 - p2
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
