@@ -305,6 +305,21 @@ import os
 _SCAN_UNROLL = int(os.environ.get("DQC_SCAN_UNROLL", "1"))
 
 
+def _num_layers(stacked_var_gates) -> int:
+    leaves = jax.tree_util.tree_leaves(stacked_var_gates)
+    return int(leaves[0].shape[0]) if leaves else 0
+
+
+def _scan_unroll(n: int, stacked_var_gates) -> int:
+    """Full unroll at >= config.full_unroll_qubits(): straight-line HLO lets
+    the aliased Pallas kernels chain through one live (fwd, bwd) buffer set
+    instead of a double-buffered while-loop carry (the 29q HBM-OOM driver,
+    BENCHMARKS.md profile)."""
+    if n >= config.full_unroll_qubits():
+        return max(1, _num_layers(stacked_var_gates))
+    return _SCAN_UNROLL
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
                          const_gates):
@@ -320,7 +335,7 @@ def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
 
     xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
-                               unroll=_SCAN_UNROLL)
+                               unroll=_scan_unroll(n, stacked_var_gates))
     return pl.from_planes(xr, xi, n)
 
 
@@ -359,7 +374,7 @@ def _bwd(ftape, residuals, ct):
     bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n)
     (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
         body, (fxr, fxi, bxr, bxi), stacked_var_gates,
-        reverse=True, unroll=_SCAN_UNROLL,
+        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
     )
     init_ref = jnp.asarray(initial_state)
     state_ct = pl.from_planes(bxr, bxi, n).astype(init_ref.dtype)
@@ -413,22 +428,9 @@ def use_plane_epilogue(epi_ftape: FusedTape, dtype) -> bool:
 
 
 def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
-    """Complex group Gram ``G[x,y] = sum_b t[x,b] conj(t[y,b])`` (the
-    group_gram/density convention, conj on the second factor) from planes:
-    3 real contractions; ``G = (A+B) + i(C^T - C)`` with A=xr.xr, B=xi.xi,
-    C[x,y]=sum xr[x] xi[y]."""
-    dims = gr.group_dims(n)
-    ax = len(dims) - 1 - j
-    sub = gr._LETTERS[: len(dims)]
-    o1 = sub[:ax] + "Z" + sub[ax + 1:]
-    spec = f"{o1},{sub}->Z{sub[ax]}"
-    hi = jax.lax.Precision.HIGHEST
-    vr = xr.reshape(dims)
-    vi = xi.reshape(dims)
-    A = jnp.einsum(spec, vr, vr, precision=hi)
-    B = jnp.einsum(spec, vi, vi, precision=hi)
-    C = jnp.einsum(spec, vr, vi, precision=hi)
-    return (A + B) + 1j * (C.T - C)
+    """Complex group Gram in one HBM read (ops/pallas/gram.py kernels; XLA
+    einsum fallback for tiny top groups)."""
+    return pl.gram_axis(xr, xi, j, n, interpret=_interpret())
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

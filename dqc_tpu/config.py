@@ -101,6 +101,26 @@ def kernel_dot_mode() -> str:
     return _KERNEL_DOT_MODE
 
 
+# Scan full-unroll threshold. A lax.scan's (fwd, bwd) reverse-pass carry is
+# double-buffered by XLA across while-loop iterations — at 29 qubits that is
+# 2 x 8 GB of f32 planes and the step no longer fits 15.75 GB HBM (the
+# measured "Exceeded hbm capacity by 12.27G" profile, BENCHMARKS.md). With
+# ``unroll == num_layers`` jax emits straight-line HLO (no while op), so the
+# in-place Pallas kernels chain through ONE live (fwd, bwd) buffer set.
+# Circuits with >= this many qubits fully unroll their layer scans; program
+# size grows O(layers), so it only applies where HBM demands it.
+_FULL_UNROLL_QUBITS = int(_os.environ.get("DQC_FULL_UNROLL_QUBITS", "29"))
+
+
+def set_full_unroll_qubits(n: int) -> None:
+    global _FULL_UNROLL_QUBITS
+    _FULL_UNROLL_QUBITS = int(n)
+
+
+def full_unroll_qubits() -> int:
+    return _FULL_UNROLL_QUBITS
+
+
 # Singular-gate diagnosis for the non-unitary uncompute (ops/inversion.py).
 # "host": concrete gates raise an actionable ValueError (default);
 # "debug": traced gates additionally get a lax.cond + debug.print guard;

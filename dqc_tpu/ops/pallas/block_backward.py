@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas import common as cm
 from dqc_tpu.ops.pallas.dots import make_dot
 
 F32 = jnp.float32
@@ -94,8 +95,8 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     inv_t = einv_r.T, (einv_r + einv_i).T, (einv_i - einv_r).T
     # transport: bwd' = bwd @ (E^T)^T = bwd @ E — combinations of E itself
     e_t = e_r, e_r + e_i, e_i - e_r
-    bs = lambda i: (i, 0, 0)
-    es = lambda i: (0, 0)
+    bs = cm.blk3
+    es = cm.fixed2
     kern = functools.partial(_kernel, a_blk, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -179,8 +180,8 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         a_blk = 1
     inv = einv_r, einv_r + einv_i, einv_i - einv_r
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
-    bs = lambda i: (i, 0, 0)
-    es = lambda i: (0, 0)
+    bs = cm.blk3
+    es = cm.fixed2
     kern = functools.partial(_kernel_sub, a_blk, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -332,8 +333,8 @@ def block_backward_dual(fr, fi, br, bi,
     l_e = e0_r, e0_r + e0_i, e0_i - e0_r
     s_inv = e1inv_r, e1inv_r + e1inv_i, e1inv_i - e1inv_r
     s_e = e1_r.T, (e1_r + e1_i).T, (e1_i - e1_r).T
-    bs = lambda i: (i, 0, 0)
-    es = lambda i: (0, 0)
+    bs = cm.blk3
+    es = cm.fixed2
     kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -411,11 +412,12 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     """
     assert fr.ndim == 4 and fr.shape[-1] == 128
     A1, X, M, _ = fr.shape
-    assert M % m_blk == 0
+    if M % m_blk:
+        m_blk = M  # irregular M: whole axis per cell (tile-legal)
     inv = einv_r, einv_r + einv_i, einv_i - einv_r
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
-    bs = lambda i, j: (i, 0, j, 0)
-    es = lambda i, j: (0, 0)
+    bs = cm.blk4
+    es = cm.fixed2
     kern = functools.partial(_kernel_high, X, dot_mode)
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((X, X), F32)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas import common as cm
 from dqc_tpu.ops.pallas.dots import make_dot
 
 F32 = jnp.float32
@@ -74,8 +75,8 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
     k2 = (el_r + el_i).T
     k3 = (el_i - el_r).T
     m1, m2, m3 = em_r, em_r + em_i, em_i - em_r
-    bs = lambda i: (i, 0, 0)
-    es = lambda i: (0, 0)
+    bs = cm.blk3
+    es = cm.fixed2
     kern = functools.partial(_kernel, a_blk, dot_mode)
     return pl.pallas_call(
         kern,

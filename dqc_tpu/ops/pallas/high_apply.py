@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dqc_tpu.ops.pallas import common as cm
 from dqc_tpu.ops.pallas.dots import make_dot
 
 F32 = jnp.float32
@@ -49,11 +50,11 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
     assert xr.ndim == 4 and xr.shape[-1] == 128
     A1, X, M, _ = xr.shape
     if M % m_blk:
-        m_blk = 1
+        m_blk = M  # irregular M: whole axis per cell (tile-legal)
     # Karatsuba combination operands (tiny, host/trace-side)
     e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
-    bs = lambda i, j: (i, 0, j, 0)
-    es = lambda i, j: (0, 0)
+    bs = cm.blk4
+    es = cm.fixed2
     kern = functools.partial(_kernel, X, dot_mode)
     blk = (1, X, m_blk, 128)
     return pl.pallas_call(

@@ -43,6 +43,7 @@ from dqc_tpu.ops.pallas.block_backward import (
     block_backward_lane,
     block_backward_sublane,
 )
+from dqc_tpu.ops.pallas.gram import gram_high, gram_lane, gram_sublane
 
 F32 = jnp.float32
 
@@ -217,6 +218,47 @@ def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
     yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
                    tr.reshape(shape), ti.reshape(shape))
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+# ---------------------------------------------------------------------------
+# Group Grams (density epilogue)
+# ---------------------------------------------------------------------------
+
+def _gram_axis_xla(xr, xi, j: int, n: int) -> jax.Array:
+    """3-einsum fallback for tiny top groups (X < MIN_KERNEL_X)."""
+    dims = gr.group_dims(n)
+    ax = len(dims) - 1 - j
+    sub = gr._LETTERS[: len(dims)]
+    o1 = sub[:ax] + "Z" + sub[ax + 1:]
+    spec = f"{o1},{sub}->Z{sub[ax]}"
+    hi = jax.lax.Precision.HIGHEST
+    vr = xr.reshape(dims)
+    vi = xi.reshape(dims)
+    A = jnp.einsum(spec, vr, vr, precision=hi)
+    B = jnp.einsum(spec, vi, vi, precision=hi)
+    C = jnp.einsum(spec, vr, vi, precision=hi)
+    return (A + B) + 1j * (C.T - C)
+
+
+def gram_axis(xr, xi, j: int, n: int, *, interpret: bool = False) -> jax.Array:
+    """Complex group Gram ``G[x, y] = sum_b t[x, b] conj(t[y, b])`` (the
+    group_gram/density convention, conj on the second factor) over group
+    axis ``j`` in ONE HBM read of the planes: ``G = S + i (C^T - C)`` from
+    the (S, C) Pallas gram kernels. Serves every density request in the
+    group (the reference sweeps the full state per density,
+    primitives.cu:689-876)."""
+    mode = config.kernel_dot_mode()
+    if j == 0:
+        S, C = gram_lane(xr, xi, dot_mode=mode, interpret=interpret)
+    elif j == 1:
+        S, C = gram_sublane(xr, xi, dot_mode=mode, interpret=interpret)
+    else:
+        pre, X, M = _high_view(n, j)
+        if X < MIN_KERNEL_X:
+            return _gram_axis_xla(xr, xi, j, n)
+        S, C = gram_high(xr.reshape(pre, X, M, 128), xi.reshape(pre, X, M, 128),
+                         dot_mode=mode, interpret=interpret)
+    return S + 1j * (C.T - C)
 
 
 # ---------------------------------------------------------------------------

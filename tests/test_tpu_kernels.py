@@ -117,8 +117,7 @@ def test_block_backward_on_hardware(which):
         f_in = np.einsum("xy,pymc->pxmc", Einv, fh)
         b_new = np.einsum("xy,pymc->pxmc", E.T, bh)
         t0 = np.einsum("pxmc,pymc->xy", bh, f_in)
-        f_in = f_in.reshape(2, 128, 128)
-        b_new = b_new.reshape(2, 128, 128)
+        # the kernel returns the (A1, X, M, 128) view it was given
     else:  # dual
         E1 = rand_op(rng)
         E1inv = np.linalg.inv(E1)
@@ -150,3 +149,35 @@ def test_block_backward_on_hardware(which):
                                atol=tol * np.abs(b_new).max())
     np.testing.assert_allclose(as_c(out[4], out[5]), t0, rtol=0,
                                atol=tol * np.abs(t0).max())
+
+
+@skip_no_tpu
+@pytest.mark.parametrize("which", ["lane", "sublane", "high"])
+def test_gram_on_hardware(which):
+    from dqc_tpu.ops.pallas import gram as gk
+
+    rng = np.random.default_rng(3)
+    xr, xi = rand_planes(rng, a=4)
+    x = as_c(xr, xi)
+
+    if which == "lane":
+        S, C = gk.gram_lane(xr, xi, dot_mode="f32")
+        A = np.einsum("amx,amy->xy", np.asarray(xr), np.asarray(xr))
+        B = np.einsum("amx,amy->xy", np.asarray(xi), np.asarray(xi))
+        Cw = np.einsum("amx,amy->xy", np.asarray(xr), np.asarray(xi))
+    elif which == "sublane":
+        S, C = gk.gram_sublane(xr, xi, dot_mode="f32")
+        A = np.einsum("axc,ayc->xy", np.asarray(xr), np.asarray(xr))
+        B = np.einsum("axc,ayc->xy", np.asarray(xi), np.asarray(xi))
+        Cw = np.einsum("axc,ayc->xy", np.asarray(xr), np.asarray(xi))
+    else:
+        x4r = xr.reshape(1, 16, 32, 128)
+        x4i = xi.reshape(1, 16, 32, 128)
+        S, C = gk.gram_high(x4r, x4i, dot_mode="f32")
+        A = np.einsum("pxmc,pymc->xy", np.asarray(x4r), np.asarray(x4r))
+        B = np.einsum("pxmc,pymc->xy", np.asarray(x4i), np.asarray(x4i))
+        Cw = np.einsum("pxmc,pymc->xy", np.asarray(x4r), np.asarray(x4i))
+
+    scale = np.abs(A + B).max()
+    np.testing.assert_allclose(np.asarray(S), A + B, rtol=0, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(C), Cw, rtol=0, atol=3e-5 * scale)
