@@ -133,34 +133,253 @@ def schedule_dual_pairs(ftape: FusedTape) -> Tuple[Tuple[int, Optional[int]], ..
     return tuple(out)
 
 
+def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
+    """Execution plan over the fused tape: ``('dense', i, partner_or_None)``
+    kernel sweeps, ``('diag', (i1, ..., ik))`` fused diagonal runs (every
+    consecutive stretch of commuting diagonals — in-group blocks and
+    cross-group tables — executes as ONE aliased kernel pass,
+    ops/pallas/diag.py), and ``('dens', i)`` density requests."""
+    items: List[Tuple] = []
+    run: List[int] = []
+    for i, j in schedule_dual_pairs(ftape):
+        fi = ftape.instructions[i]
+        is_diag = (isinstance(fi, FCross) and fi.diag) or (
+            isinstance(fi, FBlock) and fi.all_diag)
+        if is_diag:
+            run.append(i)
+            continue
+        if run:
+            items.append(("diag", tuple(run)))
+            run = []
+        if isinstance(fi, FDensity):
+            items.append(("dens", i))
+        else:
+            items.append(("dense", i, j))
+    if run:
+        items.append(("diag", tuple(run)))
+    return tuple(items)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-run table composition: the run's total diagonal as three pairwise
+# factors D[a, s, l] = Tas[a,s] * Tal[a,l] * Tsl[s,l] (see ops/pallas/diag.py)
+# ---------------------------------------------------------------------------
+
+class _DiagFactors:
+    def __init__(self, n: int):
+        self.dims = gr.group_dims(n)          # msb-first
+        self.a_dims = self.dims[:-2]          # merged high groups
+        self.A = int(np.prod(self.a_dims, dtype=np.int64)) if self.a_dims else 1
+        self.sl = None                        # (128, 128) [s, l]
+        self.a_s = None                       # (A, 128)
+        self.a_l = None                       # (A, 128)
+        self.lane = None                      # (128,)
+        self.sub = None                       # (128,)
+        self.a = None                         # (A,)
+
+    @staticmethod
+    def _m(acc, t):
+        return t if acc is None else acc * t
+
+    def _ax(self, j: int) -> int:
+        # group j >= 2 sits at this index of a_dims (== index in full dims)
+        return len(self.dims) - 1 - j
+
+    def _expand_vec(self, j: int, vec):
+        shape = [1] * len(self.a_dims)
+        shape[self._ax(j)] = self.dims[self._ax(j)]
+        return jnp.broadcast_to(jnp.asarray(vec).reshape(shape),
+                                self.a_dims).reshape(-1)
+
+    def _expand_rows(self, j: int, table2):
+        shape = [1] * len(self.a_dims) + [128]
+        shape[self._ax(j)] = self.dims[self._ax(j)]
+        return jnp.broadcast_to(jnp.asarray(table2).reshape(shape),
+                                tuple(self.a_dims) + (128,)).reshape(self.A, 128)
+
+    def _expand_joint(self, ja: int, jb: int, table2):
+        axa, axb = self._ax(ja), self._ax(jb)  # axa < axb (ja > jb)
+        shape = [1] * len(self.a_dims)
+        shape[axa] = self.dims[axa]
+        shape[axb] = self.dims[axb]
+        return jnp.broadcast_to(jnp.asarray(table2).reshape(shape),
+                                self.a_dims).reshape(-1)
+
+    def mul_group(self, j: int, vec):
+        if j == 0:
+            self.lane = self._m(self.lane, jnp.asarray(vec).reshape(-1))
+        elif j == 1:
+            self.sub = self._m(self.sub, jnp.asarray(vec).reshape(-1))
+        else:
+            self.a = self._m(self.a, self._expand_vec(j, vec))
+
+    def mul_pair(self, ja: int, jb: int, table2):
+        """Joint (ja, jb) cross table, ja > jb (cross_diag_table order)."""
+        if (ja, jb) == (1, 0):
+            self.sl = self._m(self.sl, jnp.asarray(table2))
+        elif jb == 0:
+            self.a_l = self._m(self.a_l, self._expand_rows(ja, table2))
+        elif jb == 1:
+            self.a_s = self._m(self.a_s, self._expand_rows(ja, table2))
+        else:
+            self.a = self._m(self.a, self._expand_joint(ja, jb, table2))
+
+    def tables(self):
+        tsl = jnp.ones((128, 128), C64)
+        if self.sl is not None:
+            tsl = tsl * jnp.asarray(self.sl).astype(C64)
+        if self.sub is not None:
+            tsl = tsl * jnp.asarray(self.sub).astype(C64)[:, None]
+        if self.lane is not None:
+            tsl = tsl * jnp.asarray(self.lane).astype(C64)[None, :]
+        tas = jnp.ones((self.A, 128), C64)
+        if self.a_s is not None:
+            tas = tas * jnp.asarray(self.a_s).astype(C64)
+        tal = jnp.ones((self.A, 128), C64)
+        if self.a_l is not None:
+            tal = tal * jnp.asarray(self.a_l).astype(C64)
+        if self.a is not None:
+            tal = tal * jnp.asarray(self.a).astype(C64)[:, None]
+        return tsl, tas, tal
+
+
+def _cross_ctx(fi: FCross) -> str:
+    return (f"{'var' if fi.var else 'const'} cross-group diag gate, "
+            f"queue index {fi.queue_idx}")
+
+
+def _diag_run_tables(run, ftape: FusedTape, var_gates, const_gates, *,
+                     inverse: bool = False):
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    f = _DiagFactors(n)
+    for i in run:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FBlock):
+            t = _block_operator(fi, var_gates, const_gates, sizes[fi.group],
+                                inverse=inverse)
+            f.mul_group(fi.group, t)
+        else:
+            d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+            if inverse:
+                d = _inv_diag(d, fi.unitary, _cross_ctx(fi))
+            table2, ja, jb = gr.cross_diag_table(d, fi.positions, n)
+            f.mul_pair(ja, jb, table2)
+    return f.tables()
+
+
+def _run_has_var(run, ftape: FusedTape) -> bool:
+    for i in run:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FBlock) and fi.has_var:
+            return True
+        if isinstance(fi, FCross) and fi.var:
+            return True
+    return False
+
+
+def _reduce_a_rows(Qx, j: int, n: int):
+    """(A, 128) pair reduction -> (dim_j, 128) by summing the other high
+    axes."""
+    a_dims = gr.group_dims(n)[:-2]
+    ax = len(gr.group_dims(n)) - 1 - j
+    v = Qx.reshape(tuple(a_dims) + (128,))
+    axes = tuple(k for k in range(len(a_dims)) if k != ax)
+    return jnp.sum(v, axis=axes) if axes else v
+
+
+def _reduce_a_joint(Wa, ja: int, jb: int, n: int):
+    """(A,) -> (dim_ja, dim_jb) keeping the two high axes (ja > jb)."""
+    dims = gr.group_dims(n)
+    a_dims = dims[:-2]
+    axa, axb = len(dims) - 1 - ja, len(dims) - 1 - jb
+    v = Wa.reshape(a_dims)
+    axes = tuple(k for k in range(len(a_dims)) if k not in (axa, axb))
+    return jnp.sum(v, axis=axes) if axes else v
+
+
+def _diag_run_backward(fxr, fxi, bxr, bxi, run, ftape: FusedTape,
+                       var_gates, const_gates, var_cts: Dict[int, jax.Array]):
+    """One aliased kernel pass for the whole run (fwd uncompute + cotangent
+    transport); var-gate cotangents close from the kernel's order-invariant
+    pair-product reductions: uncomputing gate g divides fwd by d_g, which
+    lives only on g's own (kept) axes, so W_g = reduce(Q) * d_g^-1 — the
+    exact per-gate grams the sequential path computed one sweep at a time."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    has_var = _run_has_var(run, ftape)
+    T = _diag_run_tables(run, ftape, var_gates, const_gates)
+    Tinv = _diag_run_tables(run, ftape, var_gates, const_gates, inverse=True)
+    fxr, fxi, bxr, bxi, Q = pl.backward_diag_run(
+        fxr, fxi, bxr, bxi, Tinv, T, with_q=has_var, interpret=_interpret())
+    if not has_var:
+        return fxr, fxi, bxr, bxi
+    Qsl, Qas, Qal = Q
+    for i in run:
+        fi = ftape.instructions[i]
+        if isinstance(fi, FBlock):
+            if not fi.has_var:
+                continue
+            g = sizes[fi.group]
+            inv_tab = jnp.asarray(
+                _block_operator(fi, var_gates, const_gates, g, inverse=True)
+            ).reshape(-1).astype(C64)
+            if fi.group == 0:
+                W = jnp.sum(Qsl, axis=0) * inv_tab
+            elif fi.group == 1:
+                W = jnp.sum(Qsl, axis=1) * inv_tab
+            else:
+                Wa = jnp.sum(Qas, axis=1)
+                W = _reduce_a_vec(Wa, fi.group, n) * inv_tab
+            tables = _block_ops(fi, var_gates, const_gates, g, C64)
+            diag_block_var_cts(fi, tables, W.astype(C64), var_gates,
+                               const_gates, g, C64, var_cts)
+        else:
+            if not fi.var:
+                continue
+            d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+            inv_t2, ja, jb = gr.cross_diag_table(
+                _inv_diag(d, fi.unitary, _cross_ctx(fi)), fi.positions, n)
+            if (ja, jb) == (1, 0):
+                Wred = Qsl
+            elif jb == 0:
+                Wred = _reduce_a_rows(Qal, ja, n)
+            elif jb == 1:
+                Wred = _reduce_a_rows(Qas, ja, n)
+            else:
+                Wred = _reduce_a_joint(jnp.sum(Qas, axis=1), ja, jb, n)
+            W2 = Wred.astype(C64) * jnp.asarray(inv_t2).astype(C64)
+            _, vjp = jax.vjp(
+                lambda dd: gr.cross_diag_table(dd, fi.positions, n)[0],
+                jnp.asarray(d).astype(C64),
+            )
+            var_cts[fi.queue_idx] = vjp(W2)[0]
+    return fxr, fxi, bxr, bxi
+
+
+def _reduce_a_vec(Wa, j: int, n: int):
+    """(A,) -> (dim_j,) by summing the other high axes."""
+    dims = gr.group_dims(n)
+    a_dims = dims[:-2]
+    ax = len(dims) - 1 - j
+    v = Wa.reshape(a_dims)
+    axes = tuple(k for k in range(len(a_dims)) if k != ax)
+    return jnp.sum(v, axis=axes) if axes else v
+
+
 def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
     """(forward, backward) full-state HBM passes per layer under the plane
     engine — one pass = read+write of the full state's bytes. Used by
     bench.py to report *achieved* bandwidth (as opposed to the per-gate-sweep
     architecture-equivalent number).
 
-    Assumptions: a dual/high kernel sweep = 1 pass; a run of consecutive
-    elementwise diagonals fuses into 1 pass (XLA multi-output fusion); a
-    backward block kernel reads 2 states and writes 2 = 2 passes; diagonal
-    backward = uncompute + gram read + transport ~= 2.5 passes.
+    Exact for the kernel engine: every program item — dual/high dense sweep
+    or fused diagonal run — is 1 aliased pass forward; its adjoint reads and
+    writes BOTH the fwd and bwd planes in one kernel = 2 passes.
     """
-    pairs = schedule_dual_pairs(ftape)
-    fwd = 0.0
-    bwd = 0.0
-    in_diag_run = False
-    for i, j in pairs:
-        fi = ftape.instructions[i]
-        if isinstance(fi, FCross) or (isinstance(fi, FBlock) and fi.all_diag):
-            if not in_diag_run:
-                fwd += 1.0
-                in_diag_run = True
-            bwd += 2.5 if getattr(fi, "var", False) or (
-                isinstance(fi, FBlock) and fi.has_var) else 2.0
-            continue
-        in_diag_run = False
-        fwd += 1.0
-        bwd += 2.0  # one backward kernel pass per dense sweep (dual or not)
-    return fwd, bwd
+    program = plane_program(ftape)
+    gate_items = sum(1 for item in program if item[0] != "dens")
+    return float(gate_items), 2.0 * gate_items
 
 
 # ---------------------------------------------------------------------------
@@ -181,32 +400,52 @@ def _cross_gate(fi: FCross, var_gates, const_gates):
     )
 
 
-def _apply_forward(xr, xi, idx_pairs, ftape, var_gates, const_gates):
+def _apply_dense_item(xr, xi, i, j, ftape, var_gates, const_gates):
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
     interp = _interpret()
-    for i, j in idx_pairs:
-        fi = ftape.instructions[i]
-        if isinstance(fi, FCross):
-            table2, ja, jb = gr.cross_diag_table(
-                _cross_gate(fi, var_gates, const_gates).reshape(-1),
-                fi.positions, n)
-            xr, xi = pl.apply_cross_diag(xr, xi, table2, ja, jb, n)
-            continue
-        assert isinstance(fi, FBlock)
-        if fi.all_diag:
-            table = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
-            xr, xi = pl.apply_diag_axis(xr, xi, table, fi.group, n)
-            continue
-        E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
-        if j is not None:
-            fj = ftape.instructions[j]
-            Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
-            E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
-            xr, xi = pl.apply_dual(xr, xi, E0, E1, interpret=interp)
+    fi = ftape.instructions[i]
+    E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+    if j is not None:
+        fj = ftape.instructions[j]
+        Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
+        E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
+        return pl.apply_dual(xr, xi, E0, E1, interpret=interp)
+    return pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
+
+
+def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
+    """Gate-only forward over a plane program (no density items)."""
+    for item in program:
+        if item[0] == "diag":
+            T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
+            xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
         else:
-            xr, xi = pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
+            assert item[0] == "dense", item
+            xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
+                                       var_gates, const_gates)
     return xr, xi
+
+
+def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
+                      const_gates, var_cts: Dict[int, jax.Array]):
+    """Reverse the program: paired dense sweeps roll back in one dual kernel
+    pass; each diagonal run rolls back in one aliased diag kernel pass."""
+    for item in reversed(program):
+        if item[0] == "diag":
+            fxr, fxi, bxr, bxi = _diag_run_backward(
+                fxr, fxi, bxr, bxi, item[1], ftape, var_gates, const_gates,
+                var_cts)
+        elif item[2] is None:
+            fxr, fxi, bxr, bxi = _backward_step(
+                fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
+                var_gates, const_gates, var_cts)
+        else:
+            fxr, fxi, bxr, bxi = _backward_dual_step(
+                fxr, fxi, bxr, bxi, ftape.instructions[item[1]],
+                ftape.instructions[item[2]], ftape, var_gates, const_gates,
+                var_cts)
+    return fxr, fxi, bxr, bxi
 
 
 def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
@@ -326,11 +565,11 @@ def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
     """Apply the layer L times on plane-layout state; returns the final flat
     complex statevector. Contract identical to scan.scanned_layers."""
     n = ftape.n
-    pairs = schedule_dual_pairs(ftape)
+    program = plane_program(ftape)
 
     def body(carry, layer_gates):
         xr, xi = carry
-        xr, xi = _apply_forward(xr, xi, pairs, ftape, layer_gates, const_gates)
+        xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
         return (xr, xi), None
 
     xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
@@ -348,23 +587,14 @@ def _fwd(ftape, initial_state, stacked_var_gates, const_gates):
 def _bwd(ftape, residuals, ct):
     final, initial_state, stacked_var_gates, const_gates = residuals
     n = ftape.n
-    # exact reverse of the forward execution plan: paired dual sweeps roll
-    # back in one dual-backward kernel pass each
-    rev_plan = tuple(reversed(schedule_dual_pairs(ftape)))
+    program = plane_program(ftape)
 
     def body(carry, layer_gates):
         fxr, fxi, bxr, bxi = carry
         var_cts: Dict[int, jax.Array] = {}
-        for i, j in rev_plan:
-            if j is None:
-                fxr, fxi, bxr, bxi = _backward_step(
-                    fxr, fxi, bxr, bxi, ftape.instructions[i], ftape,
-                    layer_gates, const_gates, var_cts)
-            else:
-                fxr, fxi, bxr, bxi = _backward_dual_step(
-                    fxr, fxi, bxr, bxi, ftape.instructions[i],
-                    ftape.instructions[j], ftape, layer_gates, const_gates,
-                    var_cts)
+        fxr, fxi, bxr, bxi = _backward_program(
+            fxr, fxi, bxr, bxi, program, ftape, layer_gates, const_gates,
+            var_cts)
         layer_cts = tuple(
             _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
         )
@@ -514,6 +744,142 @@ def epilogue_densities(epi_ftape: FusedTape, state):
 
 
 # ---------------------------------------------------------------------------
+# Fused scan + epilogue: the state stays plane-resident end-to-end
+#
+# Composing plane_scanned_layers with plane_density_epilogue crosses the
+# custom_vjp boundary as a flat complex64 statevector: ~6 extra half-passes
+# of conversion per step, and the final state is resident TWICE during the
+# backward (the scan residual in complex AND the epilogue residual as
+# planes) — 8 GB of duplicated residual at 29 qubits. This fused op keeps
+# (xr, xi) planes from |0..0> to the density matrices and back.
+# ---------------------------------------------------------------------------
+
+def _scan_densities_impl(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
+                         stacked_var_gates, const_gates):
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    program = plane_program(ftape)
+
+    def body(carry, layer_gates):
+        xr, xi = carry
+        xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
+        return (xr, xi), None
+
+    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
+                               unroll=_scan_unroll(n, stacked_var_gates))
+
+    grams: Dict[int, jax.Array] = {}
+    densities = []
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        G = grams.get(j)
+        if G is None:
+            G = _plane_gram(xr, xi, j, n)
+            grams[j] = G
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        densities.append(gr.density_from_gram(G, rels, sizes[j]))
+    return tuple(densities), (xr, xi)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def plane_scan_densities(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
+                         stacked_var_gates, const_gates):
+    """Diff-density matrices of ``epi_ftape`` after applying the gate-only
+    layer ``ftape`` L times — semantically ``plane_density_epilogue(epi,
+    plane_scanned_layers(ftape, ...))`` without the complex round trips."""
+    densities, _ = _scan_densities_impl(ftape, epi_ftape, initial_state,
+                                        stacked_var_gates, const_gates)
+    return densities
+
+
+def _psd_fwd(ftape, epi_ftape, initial_state, stacked_var_gates, const_gates):
+    densities, (xr, xi) = _scan_densities_impl(
+        ftape, epi_ftape, initial_state, stacked_var_gates, const_gates)
+    dtype_token = jnp.zeros((), jnp.asarray(initial_state).dtype)
+    return densities, (xr, xi, dtype_token, stacked_var_gates, const_gates)
+
+
+def _psd_bwd(ftape, epi_ftape, residuals, density_cts):
+    fxr, fxi, dtype_token, stacked_var_gates, const_gates = residuals
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+
+    # density cotangents -> summed (L + L^H) seed operator per group, ONE
+    # plane apply per group on conj(psi_final) (cf. _epi_bwd)
+    pending: Dict[int, jax.Array] = {}
+    it = iter(density_cts)
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        ct = next(it)
+        d = 1 << len(fi.positions)
+        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+        sym = ct_m + ct_m.conj().T
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        E = gr.expand_in_group(sym, rels, sizes[j])
+        pending[j] = E if j not in pending else pending[j] + E
+
+    cxr, cxi = fxr, -fxi
+    bxr = bxi = None
+    for j, M in pending.items():
+        sr, si = pl.apply_block(cxr, cxi, M, j, n, interpret=interp)
+        bxr = sr if bxr is None else bxr + sr
+        bxi = si if bxi is None else bxi + si
+    state_dtype = dtype_token.dtype
+    if bxr is None:
+        state_ct = jnp.zeros((1 << n,), state_dtype)
+        stacked_cts = jax.tree_util.tree_map(
+            lambda g: jnp.zeros_like(jnp.asarray(g)), stacked_var_gates)
+        const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+        return state_ct, stacked_cts, const_cts
+
+    # reverse layer scan, identical to plane_scanned_layers' backward
+    program = plane_program(ftape)
+
+    def body(carry, layer_gates):
+        fxr, fxi, bxr, bxi = carry
+        var_cts: Dict[int, jax.Array] = {}
+        fxr, fxi, bxr, bxi = _backward_program(
+            fxr, fxi, bxr, bxi, program, ftape, layer_gates, const_gates,
+            var_cts)
+        layer_cts = tuple(
+            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
+        )
+        return (fxr, fxi, bxr, bxi), layer_cts
+
+    (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
+        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
+    )
+    state_ct = pl.from_planes(bxr, bxi, n).astype(state_dtype)
+    const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+    return state_ct, stacked_cts, const_cts
+
+
+plane_scan_densities.defvjp(_psd_fwd, _psd_bwd)
+
+
+def scan_with_epilogue(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
+                       stacked_var_gates, const_gates):
+    """Dispatcher used by models: fused plane-resident scan+epilogue when
+    both tapes are eligible, else compose the two stages."""
+    from dqc_tpu.circuit.scan import scanned_layers
+
+    dtype = jnp.asarray(initial_state).dtype
+    if (use_plane_engine(ftape, dtype)
+            and plane_epilogue_eligible(epi_ftape, dtype)):
+        return plane_scan_densities(ftape, epi_ftape, initial_state,
+                                    stacked_var_gates, const_gates)
+    state = scanned_layers(ftape, initial_state, stacked_var_gates, const_gates)
+    return epilogue_densities(epi_ftape, state)
+
+
+# ---------------------------------------------------------------------------
 # Generic plane tape execution (the direct build() path)
 #
 # The scan engine above covers layered models; this executes an ARBITRARY
@@ -551,22 +917,42 @@ def use_plane_tape(ftape: FusedTape, dtype) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _trim_program(program, stop_after: Optional[int]):
+    """Restrict a program to instructions with index <= stop_after. A diag
+    run straddling the cut keeps only its early members (diagonals commute,
+    so a subset composes exactly); a dense pair loses a late partner."""
+    if stop_after is None:
+        return program
+    out = []
+    for item in program:
+        if item[0] == "diag":
+            keep = tuple(i for i in item[1] if i <= stop_after)
+            if keep:
+                out.append(("diag", keep))
+        elif item[0] == "dens":
+            if item[1] <= stop_after:
+                out.append(item)
+        else:
+            i, j = item[1], item[2]
+            if i > stop_after:
+                continue
+            out.append(("dense", i, j if (j is not None and j <= stop_after) else None))
+    return tuple(out)
+
+
 def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
                     *, stop_after: Optional[int] = None):
     """Forward execution collecting diff densities; returns
     ``(densities, (xr, xi))`` with the planes at the stop point."""
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
-    pairs = schedule_dual_pairs(ftape)
+    program = _trim_program(plane_program(ftape), stop_after)
     xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
     densities = []
     gram_cache: Dict[int, jax.Array] = {}
-    interp = _interpret()
-    for i, j in pairs:
-        if stop_after is not None and i > stop_after:
-            break
-        fi = ftape.instructions[i]
-        if isinstance(fi, FDensity):
+    for item in program:
+        if item[0] == "dens":
+            fi = ftape.instructions[item[1]]
             if fi.diff:
                 jg = gr.group_of_bit(n, fi.positions[0])[0]
                 G = gram_cache.get(jg)
@@ -577,25 +963,12 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
                 densities.append(gr.density_from_gram(G, rels, sizes[jg]))
             continue
         gram_cache.clear()
-        if isinstance(fi, FCross):
-            table2, ja, jb = gr.cross_diag_table(
-                _cross_gate(fi, var_gates, const_gates).reshape(-1),
-                fi.positions, n)
-            xr, xi = pl.apply_cross_diag(xr, xi, table2, ja, jb, n)
-            continue
-        assert isinstance(fi, FBlock)
-        if fi.all_diag:
-            table = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
-            xr, xi = pl.apply_diag_axis(xr, xi, table, fi.group, n)
-            continue
-        E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
-        if j is not None and (stop_after is None or j <= stop_after):
-            fj = ftape.instructions[j]
-            Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
-            E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
-            xr, xi = pl.apply_dual(xr, xi, E0, E1, interpret=interp)
+        if item[0] == "diag":
+            T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
+            xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
         else:
-            xr, xi = pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
+            xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
+                                       var_gates, const_gates)
     return tuple(densities), (xr, xi)
 
 
@@ -670,17 +1043,14 @@ def _pt_bwd(ftape, residuals, density_cts):
         pending.clear()
         return bxr, bxi
 
-    # exact reverse of the forward execution plan up to `last`
-    rev_plan = [
-        (i, j) for i, j in reversed(schedule_dual_pairs(ftape))
-        if i <= last
-    ]
-    for i, j in rev_plan:
-        fi = ftape.instructions[i]
-        if isinstance(fi, FDensity):
+    # exact reverse of the (trimmed) forward execution plan
+    program = _trim_program(plane_program(ftape), last if last >= 0 else -1)
+    for item in reversed(program):
+        if item[0] == "dens":
+            fi = ftape.instructions[item[1]]
             if not fi.diff:
                 continue
-            ct = ct_of[i]
+            ct = ct_of[item[1]]
             d = 1 << len(fi.positions)
             ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
             sym = ct_m + ct_m.conj().T
@@ -693,18 +1063,23 @@ def _pt_bwd(ftape, residuals, density_cts):
         bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)
         if bxr is None:
             # before any seed: uncompute only (zero-grad trailing gates)
-            fxr, fxi = _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates)
-            if j is not None:
+            if item[0] == "diag":
+                Tinv = _diag_run_tables(item[1], ftape, var_gates,
+                                        const_gates, inverse=True)
+                fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
+                                             interpret=_interpret())
+            else:
                 fxr, fxi = _uncompute_only(
-                    fxr, fxi, ftape.instructions[j], ftape, var_gates, const_gates)
+                    fxr, fxi, ftape.instructions[item[1]], ftape, var_gates,
+                    const_gates)
+                if item[2] is not None:
+                    fxr, fxi = _uncompute_only(
+                        fxr, fxi, ftape.instructions[item[2]], ftape,
+                        var_gates, const_gates)
             continue
-        if j is None:
-            fxr, fxi, bxr, bxi = _backward_step(
-                fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates, var_cts)
-        else:
-            fxr, fxi, bxr, bxi = _backward_dual_step(
-                fxr, fxi, bxr, bxi, fi, ftape.instructions[j], ftape,
-                var_gates, const_gates, var_cts)
+        fxr, fxi, bxr, bxi = _backward_program(
+            fxr, fxi, bxr, bxi, (item,), ftape, var_gates, const_gates,
+            var_cts)
     bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)
 
     state_dtype = dtype_token.dtype

@@ -125,16 +125,14 @@ class HardwareEfficientAnsatz:
     def magnetization(self, params: jax.Array) -> jax.Array:
         """Sum of <Z_i> — a simple fully-differentiable loss."""
         if self.scan:
-            from dqc_tpu.circuit.plane_scan import epilogue_densities
-            from dqc_tpu.circuit.scan import scanned_layers
+            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
             from dqc_tpu.ops.statevector import standard_state
 
-            state = standard_state(self.n, self.dtype)
-            state = scanned_layers(
-                self._layer_ftape, state, self._stacked_gates(params),
-                self._layer_consts,
+            densities = scan_with_epilogue(
+                self._layer_ftape, self._epi_ftape,
+                standard_state(self.n, self.dtype),
+                self._stacked_gates(params), self._layer_consts,
             )
-            densities = epilogue_densities(self._epi_ftape, state)
         else:
             gates = self.params2gates(params)
             densities = self._autodiff_run(gates, self._const_gates)

@@ -115,8 +115,7 @@ class QAOAMaxCut:
     def _densities(self, params: jax.Array):
         if self.scan:
             from dqc_tpu.circuit.fused_autograd import fused_run
-            from dqc_tpu.circuit.plane_scan import epilogue_densities
-            from dqc_tpu.circuit.scan import scanned_layers
+            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
             from dqc_tpu.circuit.fusion import fuse_tape
             from dqc_tpu.ops.statevector import standard_state
 
@@ -127,10 +126,10 @@ class QAOAMaxCut:
                 self._pro_ftape = fuse_tape(pro.tape)
             state = standard_state(self.n, self.dtype)
             _, state = fused_run(self._pro_ftape, state, (), tuple(self._const_gates))
-            state = scanned_layers(
-                self._layer_ftape, state, self._stacked_gates(params), ()
+            return scan_with_epilogue(
+                self._layer_ftape, self._epi_ftape, state,
+                self._stacked_gates(params), ()
             )
-            return epilogue_densities(self._epi_ftape, state)
         return self._autodiff_run(self.params2gates(params), self._const_gates)
 
     def expected_cut(self, params: jax.Array) -> jax.Array:

@@ -133,16 +133,15 @@ class VQEIsing:
         """TFIM energy estimate (real scalar), fully differentiable."""
         if self.scan:
             from dqc_tpu.circuit.fused_autograd import fused_run
-            from dqc_tpu.circuit.plane_scan import epilogue_densities
-            from dqc_tpu.circuit.scan import scanned_layers
+            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
             from dqc_tpu.ops.statevector import standard_state
 
             state = standard_state(self.n, self.dtype)
             _, state = fused_run(self._pro_ftape, state, (), tuple(self._const_gates))
-            state = scanned_layers(
-                self._layer_ftape, state, self._stacked_gates(params), ()
+            densities = scan_with_epilogue(
+                self._layer_ftape, self._epi_ftape, state,
+                self._stacked_gates(params), ()
             )
-            densities = epilogue_densities(self._epi_ftape, state)
         else:
             densities = self._autodiff_run(
                 self.params2gates(params), self._const_gates

@@ -24,6 +24,11 @@ def blk4(i, j):
     return (i, _Z, j, _Z)
 
 
+def blk2(i):
+    """Grid-major block over a rank-2 (A, 128) table/partial."""
+    return (i, _Z)
+
+
 def fixed2(*_):
     """Grid-invariant rank-2 operand/accumulator (whole array each cell)."""
     return (_Z, _Z)

@@ -43,6 +43,7 @@ from dqc_tpu.ops.pallas.block_backward import (
     block_backward_lane,
     block_backward_sublane,
 )
+from dqc_tpu.ops.pallas.diag import diag_backward_planes, diag_sweep_planes
 from dqc_tpu.ops.pallas.gram import gram_high, gram_lane, gram_sublane
 
 F32 = jnp.float32
@@ -218,6 +219,42 @@ def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
     yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
                    tr.reshape(shape), ti.reshape(shape))
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused diagonal runs (ops/pallas/diag.py kernels)
+# ---------------------------------------------------------------------------
+
+def _pair_planes(t):
+    t = jnp.asarray(t)
+    return t.real.astype(F32), t.imag.astype(F32)
+
+
+def apply_diag_run(xr, xi, tables, *, interpret: bool = False):
+    """One in-place pass applying a factored total diagonal
+    ``tables = (tsl, tas, tal)`` (complex: (128,128), (A,128), (A,128))."""
+    tsl, tas, tal = tables
+    return diag_sweep_planes(xr, xi, *_pair_planes(tsl), *_pair_planes(tas),
+                             *_pair_planes(tal), interpret=interpret)
+
+
+def backward_diag_run(fxr, fxi, bxr, bxi, inv_tables, tables, *,
+                      with_q: bool, interpret: bool = False):
+    """One in-place pass rolling (fwd, bwd) through a diagonal run:
+    ``fwd *= D_inv``, ``bwd *= D``; with ``with_q`` also returns the complex
+    pair-product reductions ``(Qsl, Qas, Qal)`` (see ops/pallas/diag.py)."""
+    isl, ias, ial = inv_tables
+    tsl, tas, tal = tables
+    out = diag_backward_planes(
+        fxr, fxi, bxr, bxi,
+        *_pair_planes(isl), *_pair_planes(ias), *_pair_planes(ial),
+        *_pair_planes(tsl), *_pair_planes(tas), *_pair_planes(tal),
+        with_q=with_q, interpret=interpret)
+    if not with_q:
+        return out + (None,)
+    fr, fi, br, bi, qsl_r, qsl_i, qas_r, qas_i, qal_r, qal_i = out
+    Q = (qsl_r + 1j * qsl_i, qas_r + 1j * qas_i, qal_r + 1j * qal_i)
+    return fr, fi, br, bi, Q
 
 
 # ---------------------------------------------------------------------------

@@ -64,8 +64,8 @@ def _forward_layer(dprog: DFusedProgram, axis: str, xr, xi, var_gates, const_gat
             continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)
-        pairs = ps.schedule_dual_pairs(di.ftape)
-        xr, xi = ps._apply_forward(xr, xi, pairs, di.ftape, vg, cg)
+        program = ps.plane_program(di.ftape)
+        xr, xi = ps._apply_forward(xr, xi, program, di.ftape, vg, cg)
     return xr, xi
 
 
@@ -80,16 +80,9 @@ def _backward_layer(dprog: DFusedProgram, axis: str, fxr, fxi, bxr, bxi,
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)
         seg_cts: Dict[int, jax.Array] = {}
-        rev_plan = tuple(reversed(ps.schedule_dual_pairs(di.ftape)))
-        for i, j in rev_plan:
-            if j is None:
-                fxr, fxi, bxr, bxi = ps._backward_step(
-                    fxr, fxi, bxr, bxi, di.ftape.instructions[i], di.ftape,
-                    vg, cg, seg_cts)
-            else:
-                fxr, fxi, bxr, bxi = ps._backward_dual_step(
-                    fxr, fxi, bxr, bxi, di.ftape.instructions[i],
-                    di.ftape.instructions[j], di.ftape, vg, cg, seg_cts)
+        program = ps.plane_program(di.ftape)
+        fxr, fxi, bxr, bxi = ps._backward_program(
+            fxr, fxi, bxr, bxi, program, di.ftape, vg, cg, seg_cts)
         for local_q, ct in seg_cts.items():
             var_cts[di.var_base + local_q] = ct
     cts = tuple(var_cts[q] for q in range(dprog.num_var_gates))

@@ -165,3 +165,69 @@ def test_gram_axis_high_kernel_path():
     xi = jnp.asarray(psi.imag.reshape(8, 128, 128))
     got = np.asarray(pln.gram_axis(xr, xi, 2, n, interpret=True))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_diag_sweep_planes_matches_oracle():
+    """Fused diagonal-run sweep: x *= Tas[a,s]*Tal[a,l]*Tsl[s,l] in one pass."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 16  # A = 4
+    rng = np.random.default_rng(21)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    A = 4
+    tsl = (rng.standard_normal((128, 128)) + 1j * rng.standard_normal((128, 128))).astype(np.complex64)
+    tas = (rng.standard_normal((A, 128)) + 1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    tal = (rng.standard_normal((A, 128)) + 1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    D = tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]
+    want = psi.reshape(A, 128, 128) * D
+
+    xr = jnp.asarray(psi.real.reshape(A, 128, 128))
+    xi = jnp.asarray(psi.imag.reshape(A, 128, 128))
+    yr, yi = pln.apply_diag_run(
+        xr, xi, (jnp.asarray(tsl), jnp.asarray(tas), jnp.asarray(tal)),
+        interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("with_q", [False, True])
+def test_diag_backward_planes_matches_oracle(with_q):
+    """One-pass diag-run adjoint: fwd *= D_inv, bwd *= D, and the Q pair
+    reductions (taken before the updates)."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 16
+    rng = np.random.default_rng(22)
+    A = 4
+    fwd = oracles.random_state(rng, n).astype(np.complex64).reshape(A, 128, 128)
+    bwd = oracles.random_state(rng, n).astype(np.complex64).reshape(A, 128, 128)
+
+    def rnd(shape):
+        # well-conditioned diagonal factors (unit-modulus phases + noise)
+        ph = np.exp(1j * rng.uniform(0, 2 * np.pi, shape))
+        return (ph * (1.0 + 0.1 * rng.standard_normal(shape))).astype(np.complex64)
+
+    tsl, tas, tal = rnd((128, 128)), rnd((A, 128)), rnd((A, 128))
+    D = tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]
+    Dinv = 1.0 / D
+    # factored inverse tables (what the engine passes)
+    isl, ias, ial = 1.0 / tsl, 1.0 / tas, 1.0 / tal
+
+    Q = bwd * fwd
+    want_f, want_b = fwd * Dinv, bwd * D
+    fr, fi_, br, bi, Qk = pln.backward_diag_run(
+        jnp.asarray(fwd.real), jnp.asarray(fwd.imag),
+        jnp.asarray(bwd.real), jnp.asarray(bwd.imag),
+        (jnp.asarray(isl), jnp.asarray(ias), jnp.asarray(ial)),
+        (jnp.asarray(tsl), jnp.asarray(tas), jnp.asarray(tal)),
+        with_q=with_q, interpret=True)
+    got_f = np.asarray(fr) + 1j * np.asarray(fi_)
+    got_b = np.asarray(br) + 1j * np.asarray(bi)
+    np.testing.assert_allclose(got_f, want_f, rtol=4e-5, atol=4e-5)
+    np.testing.assert_allclose(got_b, want_b, rtol=4e-5, atol=4e-5)
+    if with_q:
+        np.testing.assert_allclose(np.asarray(Qk[0]), Q.sum(axis=0), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Qk[1]), Q.sum(axis=2), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Qk[2]), Q.sum(axis=1), rtol=1e-4, atol=1e-3)
+    else:
+        assert Qk is None
