@@ -663,6 +663,23 @@ def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
     return pl.gram_axis(xr, xi, j, n, interpret=_interpret())
 
 
+def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
+                bxr=None, bxi=None):
+    """Accumulate the density seeds ``sum_j M_j conj(psi)`` into (bxr, bxi),
+    computed as ``conj(sum_j conj(M_j) psi)``: the forward planes are READ
+    (``alias=False``) with no up-front negation buffer — one aliased apply
+    per group would force XLA to copy the full-state input per extra
+    consumer (the 2 GB neg/copy allocations in the 29q OOM profile,
+    tools/mem29.py)."""
+    if not pending:
+        return bxr, bxi
+    for jg, M in pending.items():
+        acc = None if bxr is None else (bxr, bxi)
+        bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), jg, n, alias=False,
+                                  conj=True, acc=acc, interpret=interp)
+    return bxr, bxi
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def plane_density_epilogue(epi_ftape: FusedTape, state):
     """Diff-density matrices of a density-only tape on the final state —
@@ -719,12 +736,7 @@ def _epi_bwd(epi_ftape, residuals, density_cts):
         E = gr.expand_in_group(sym, rels, sizes[j])
         pending[j] = E if j not in pending else pending[j] + E
 
-    cxr, cxi = xr, -xi  # conj(psi) on planes (the negate fuses downstream)
-    bxr = bxi = None
-    for j, M in pending.items():
-        sr, si = pl.apply_block(cxr, cxi, M, j, n, interpret=interp)
-        bxr = sr if bxr is None else bxr + sr
-        bxi = si if bxi is None else bxi + si
+    bxr, bxi = _seed_apply(xr, xi, pending, n, interp)
     if bxr is None:
         return (jnp.zeros((1 << n,), state_dtype),)
     return (pl.from_planes(bxr, bxi, n).astype(state_dtype),)
@@ -824,12 +836,7 @@ def _psd_bwd(ftape, epi_ftape, residuals, density_cts):
         E = gr.expand_in_group(sym, rels, sizes[j])
         pending[j] = E if j not in pending else pending[j] + E
 
-    cxr, cxi = fxr, -fxi
-    bxr = bxi = None
-    for j, M in pending.items():
-        sr, si = pl.apply_block(cxr, cxi, M, j, n, interpret=interp)
-        bxr = sr if bxr is None else bxr + sr
-        bxi = si if bxi is None else bxi + si
+    bxr, bxi = _seed_apply(fxr, fxi, pending, n, interp)
     state_dtype = dtype_token.dtype
     if bxr is None:
         state_ct = jnp.zeros((1 << n,), state_dtype)
@@ -877,6 +884,163 @@ def scan_with_epilogue(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
                                     stacked_var_gates, const_gates)
     state = scanned_layers(ftape, initial_state, stacked_var_gates, const_gates)
     return epilogue_densities(epi_ftape, state)
+
+
+# ---------------------------------------------------------------------------
+# Standard-state fused prologue + scan + epilogue: NO full-state complex
+# buffer anywhere.
+#
+# Every model starts from |0..0> and never differentiates w.r.t. the initial
+# state, yet the generic op above still (a) takes a 2^n complex64 input,
+# (b) returns a 2^n complex64 state cotangent, and (c) pays two plane<->
+# complex transposes per step — at 29 qubits that is 8 GB of dead buffers
+# plus 2x2 GB transpose temps, the exact allocations in the measured 29q OOM
+# (27.29G/15.75G, tools/mem29.py; BENCHMARKS.md). Here |0..0> is built AS
+# planes, the const-only prologue runs on planes inside the op, and the
+# backward returns gate cotangents only: live set = fwd planes + bwd planes.
+# ---------------------------------------------------------------------------
+
+def _tape_all_const(ftape: FusedTape) -> bool:
+    for fi in ftape.instructions:
+        if isinstance(fi, FBlock) and fi.has_var:
+            return False
+        if isinstance(fi, FCross) and fi.var:
+            return False
+        if isinstance(fi, FDensity):
+            return False
+    return True
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def plane_std_scan_densities(pro_ftape: Optional[FusedTape], ftape: FusedTape,
+                             epi_ftape: FusedTape, pro_const_gates,
+                             stacked_var_gates, const_gates):
+    """Diff densities of ``epi_ftape`` after ``pro_ftape`` (const-only, may
+    be None) then L layers of ``ftape``, starting from |0..0> — fully
+    plane-resident, no 2^n complex buffer in the whole fwd+bwd graph."""
+    densities, _ = _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates,
+                             stacked_var_gates, const_gates)
+    return densities
+
+
+def _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
+              const_gates):
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    xr, xi = pl.standard_planes(n)
+    if pro_ftape is not None:
+        xr, xi = _apply_forward(xr, xi, plane_program(pro_ftape), pro_ftape,
+                                (), pro_const_gates)
+
+    program = plane_program(ftape)
+
+    def body(carry, layer_gates):
+        cr, ci = carry
+        cr, ci = _apply_forward(cr, ci, program, ftape, layer_gates, const_gates)
+        return (cr, ci), None
+
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
+                               unroll=_scan_unroll(n, stacked_var_gates))
+
+    grams: Dict[int, jax.Array] = {}
+    densities = []
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        G = grams.get(j)
+        if G is None:
+            G = _plane_gram(xr, xi, j, n)
+            grams[j] = G
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        densities.append(gr.density_from_gram(G, rels, sizes[j]))
+    return tuple(densities), (xr, xi)
+
+
+def _std_fwd(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
+             const_gates):
+    densities, (xr, xi) = _std_impl(pro_ftape, ftape, epi_ftape,
+                                    pro_const_gates, stacked_var_gates,
+                                    const_gates)
+    return densities, (xr, xi, pro_const_gates, stacked_var_gates, const_gates)
+
+
+def _std_bwd(pro_ftape, ftape, epi_ftape, residuals, density_cts):
+    fxr, fxi, pro_const_gates, stacked_var_gates, const_gates = residuals
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    interp = _interpret()
+
+    pending: Dict[int, jax.Array] = {}
+    it = iter(density_cts)
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        ct = next(it)
+        d = 1 << len(fi.positions)
+        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+        sym = ct_m + ct_m.conj().T
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        E = gr.expand_in_group(sym, rels, sizes[j])
+        pending[j] = E if j not in pending else pending[j] + E
+
+    pro_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in pro_const_gates)
+    const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+    if not pending:
+        stacked_cts = jax.tree_util.tree_map(
+            lambda g: jnp.zeros_like(jnp.asarray(g)), stacked_var_gates)
+        return pro_cts, stacked_cts, const_cts
+
+    bxr, bxi = _seed_apply(fxr, fxi, pending, n, interp)
+
+    program = plane_program(ftape)
+
+    def body(carry, layer_gates):
+        cfxr, cfxi, cbxr, cbxi = carry
+        var_cts: Dict[int, jax.Array] = {}
+        cfxr, cfxi, cbxr, cbxi = _backward_program(
+            cfxr, cfxi, cbxr, cbxi, program, ftape, layer_gates, const_gates,
+            var_cts)
+        layer_cts = tuple(
+            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
+        )
+        return (cfxr, cfxi, cbxr, cbxi), layer_cts
+
+    # reverse scan stops at the prologue: it is const-only and the initial
+    # state needs no cotangent, so neither state is rolled through it
+    (_, _, _, _), stacked_cts = jax.lax.scan(
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
+        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
+    )
+    return pro_cts, stacked_cts, const_cts
+
+
+plane_std_scan_densities.defvjp(_std_fwd, _std_bwd)
+
+
+def std_scan_with_epilogue(pro_ftape: Optional[FusedTape], ftape: FusedTape,
+                           epi_ftape: FusedTape, pro_const_gates,
+                           stacked_var_gates, const_gates, *,
+                           dtype=jnp.complex64):
+    """Dispatcher used by models whose circuit starts from |0..0>: the fully
+    plane-resident op when every stage is eligible, else the composed
+    fallback (fused prologue run + scan + epilogue)."""
+    from dqc_tpu.circuit.fused_autograd import fused_run
+    from dqc_tpu.ops.statevector import standard_state
+
+    pro_ok = pro_ftape is None or (plane_tape_eligible(pro_ftape, dtype)
+                                   and _tape_all_const(pro_ftape))
+    if (pro_ok and use_plane_engine(ftape, dtype)
+            and plane_epilogue_eligible(epi_ftape, dtype)):
+        return plane_std_scan_densities(pro_ftape, ftape, epi_ftape,
+                                        pro_const_gates, stacked_var_gates,
+                                        const_gates)
+    state = standard_state(ftape.n, dtype)
+    if pro_ftape is not None:
+        _, state = fused_run(pro_ftape, state, (), tuple(pro_const_gates))
+    return scan_with_epilogue(ftape, epi_ftape, state, stacked_var_gates,
+                              const_gates)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,13 +1197,7 @@ def _pt_bwd(ftape, residuals, density_cts):
         # all density cotangents at one circuit point seed the same
         # conj(psi): sum the (L + L^H) operators per group, apply ONCE per
         # group on planes (fused_autograd._bwd flush_seeds, on planes)
-        if not pending:
-            return bxr, bxi
-        cxr, cxi = fxr, -fxi
-        for jg, M in pending.items():
-            sr, si = pl.apply_block(cxr, cxi, M, jg, n, interpret=interp)
-            bxr = sr if bxr is None else bxr + sr
-            bxi = si if bxi is None else bxi + si
+        bxr, bxi = _seed_apply(fxr, fxi, pending, n, interp, bxr, bxi)
         pending.clear()
         return bxr, bxi
 

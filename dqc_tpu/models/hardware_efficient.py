@@ -125,13 +125,12 @@ class HardwareEfficientAnsatz:
     def magnetization(self, params: jax.Array) -> jax.Array:
         """Sum of <Z_i> — a simple fully-differentiable loss."""
         if self.scan:
-            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
-            from dqc_tpu.ops.statevector import standard_state
+            from dqc_tpu.circuit.plane_scan import std_scan_with_epilogue
 
-            densities = scan_with_epilogue(
-                self._layer_ftape, self._epi_ftape,
-                standard_state(self.n, self.dtype),
+            densities = std_scan_with_epilogue(
+                None, self._layer_ftape, self._epi_ftape, (),
                 self._stacked_gates(params), self._layer_consts,
+                dtype=self.dtype,
             )
         else:
             gates = self.params2gates(params)

@@ -114,21 +114,18 @@ class QAOAMaxCut:
 
     def _densities(self, params: jax.Array):
         if self.scan:
-            from dqc_tpu.circuit.fused_autograd import fused_run
-            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
+            from dqc_tpu.circuit.plane_scan import std_scan_with_epilogue
             from dqc_tpu.circuit.fusion import fuse_tape
-            from dqc_tpu.ops.statevector import standard_state
 
             if not hasattr(self, "_pro_ftape"):
                 pro = AutoGradCircuit(self.n, dtype=self.dtype)
                 for i in range(self.n):
                     pro.add_q1_const_gate(i)
                 self._pro_ftape = fuse_tape(pro.tape)
-            state = standard_state(self.n, self.dtype)
-            _, state = fused_run(self._pro_ftape, state, (), tuple(self._const_gates))
-            return scan_with_epilogue(
-                self._layer_ftape, self._epi_ftape, state,
-                self._stacked_gates(params), ()
+            return std_scan_with_epilogue(
+                self._pro_ftape, self._layer_ftape, self._epi_ftape,
+                tuple(self._const_gates), self._stacked_gates(params), (),
+                dtype=self.dtype,
             )
         return self._autodiff_run(self.params2gates(params), self._const_gates)
 

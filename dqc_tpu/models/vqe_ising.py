@@ -132,15 +132,12 @@ class VQEIsing:
     def energy(self, params: jax.Array) -> jax.Array:
         """TFIM energy estimate (real scalar), fully differentiable."""
         if self.scan:
-            from dqc_tpu.circuit.fused_autograd import fused_run
-            from dqc_tpu.circuit.plane_scan import scan_with_epilogue
-            from dqc_tpu.ops.statevector import standard_state
+            from dqc_tpu.circuit.plane_scan import std_scan_with_epilogue
 
-            state = standard_state(self.n, self.dtype)
-            _, state = fused_run(self._pro_ftape, state, (), tuple(self._const_gates))
-            densities = scan_with_epilogue(
-                self._layer_ftape, self._epi_ftape, state,
-                self._stacked_gates(params), ()
+            densities = std_scan_with_epilogue(
+                self._pro_ftape, self._layer_ftape, self._epi_ftape,
+                tuple(self._const_gates), self._stacked_gates(params), (),
+                dtype=self.dtype,
             )
         else:
             densities = self._autodiff_run(

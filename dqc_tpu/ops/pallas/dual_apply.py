@@ -35,7 +35,12 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, dot_mode, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_ref):
+def _kernel(a_blk, dot_mode, conj, has_acc, xr_ref, xi_ref,
+            k1, k2, k3, m1, m2, m3, *rest):
+    if has_acc:
+        accr_ref, acci_ref, yr_ref, yi_ref = rest
+    else:
+        yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
     # lane group: y = x @ El^T via Karatsuba (k1 = El^T, k2 = (El+iEl_i)^T
@@ -54,16 +59,37 @@ def _kernel(a_blk, dot_mode, xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, yr_ref, yi_
         v1 = dot(m1[:], ar + ai)
         v2 = dot(m2[:], ai)
         v3 = dot(m3[:], ar)
-        yr_ref[a, :, :] = v1 - v2
-        yi_ref[a, :, :] = v1 + v3
+        vr = v1 - v2
+        vi = v1 + v3
+        if conj:
+            vi = -vi
+        if has_acc:
+            vr = accr_ref[a] + vr
+            vi = acci_ref[a] + vi
+        yr_ref[a, :, :] = vr
+        yi_ref[a, :, :] = vi
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",
+                                             "conj", "interpret"))
 def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
-                            dot_mode: str = "f32", interpret: bool = False):
+                            dot_mode: str = "f32", alias: bool = True,
+                            conj: bool = False, acc=None,
+                            interpret: bool = False):
     """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
     ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
-    HBM pass."""
+    HBM pass.
+
+    ``alias=False`` keeps the input planes intact (fresh outputs): required
+    when the same planes feed several consumers — an aliased call would
+    force XLA to COPY the 2^n-sized input per extra consumer (the measured
+    2 GB copy.* allocations in the 29q OOM profile, tools/mem29.py).
+
+    ``conj=True`` emits ``conj(Em X El^T)``; ``acc=(ar, ai)`` adds the result
+    into the accumulator planes IN PLACE (acc aliased, x read-only) — the
+    density-seed pattern ``bwd += M conj(psi)`` in one pass per group with a
+    single live accumulator (XLA keeps every non-aliased output of a seed
+    fan-out live simultaneously: 5x4 GB in the 29q profile)."""
     assert xr.ndim == 3 and xr.shape[1:] == (128, 128)
     A = xr.shape[0]
     if A % a_blk:
@@ -77,21 +103,31 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
     m1, m2, m3 = em_r, em_r + em_i, em_i - em_r
     bs = cm.blk3
     es = cm.fixed2
-    kern = functools.partial(_kernel, a_blk, dot_mode)
+    has_acc = acc is not None
+    kern = functools.partial(_kernel, a_blk, dot_mode, conj, has_acc)
+    big = pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)
+    in_specs = [big] * 2 + [pl.BlockSpec((128, 128), es,
+                                         memory_space=pltpu.VMEM)] * 6
+    args = (xr, xi, k1, k2, k3, m1, m2, m3)
+    if has_acc:
+        in_specs = in_specs + [big, big]
+        args = args + (acc[0], acc[1])
+        aliases = {8: 0, 9: 1}
+    else:
+        # in-place update: the state planes are dead after the sweep
+        # (SURVEY 7 step 4b - the reference mutates one buffer in place)
+        aliases = {0: 0, 1: 1} if alias else {}
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
                    jax.ShapeDtypeStruct(xr.shape, F32)),
         grid=(A // a_blk,),
-        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 2
-                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 2,
-        # in-place update: the state planes are dead after the sweep
-        # (SURVEY 7 step 4b - the reference mutates one buffer in place)
-        input_output_aliases={0: 0, 1: 1},
+        in_specs=in_specs,
+        out_specs=(big, big),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xr, xi, k1, k2, k3, m1, m2, m3)
+    )(*args)

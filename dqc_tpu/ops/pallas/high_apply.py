@@ -29,7 +29,12 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(x_dim, dot_mode, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
+def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
+            *rest):
+    if has_acc:
+        accr_ref, acci_ref, yr_ref, yi_ref = rest
+    else:
+        yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
@@ -38,15 +43,29 @@ def _kernel(x_dim, dot_mode, xr_ref, xi_ref, e1, e2, e3, yr_ref, yi_ref):
     t1 = dot(e1[:], xr + xi)
     t2 = dot(e2[:], xi)
     t3 = dot(e3[:], xr)
-    yr_ref[0] = (t1 - t2).reshape(yr_ref.shape[1:])
-    yi_ref[0] = (t1 + t3).reshape(yi_ref.shape[1:])
+    vr = (t1 - t2).reshape(yr_ref.shape[1:])
+    vi = (t1 + t3).reshape(yi_ref.shape[1:])
+    if conj:
+        vi = -vi
+    if has_acc:
+        vr = accr_ref[0] + vr
+        vi = acci_ref[0] + vi
+    yr_ref[0] = vr
+    yi_ref[0] = vi
 
 
-@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
+                                             "conj", "interpret"))
 def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
-                            dot_mode: str = "f32", interpret: bool = False):
+                            dot_mode: str = "f32", alias: bool = True,
+                            conj: bool = False, acc=None,
+                            interpret: bool = False):
     """Apply the complex operator ``e_r + i e_i`` (``X x X``) to the second
-    axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass."""
+    axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass.
+
+    ``alias=False``: fresh outputs, inputs preserved; ``conj``/``acc``: emit
+    ``acc + conj(E x)`` with the accumulator aliased in place (the density-
+    seed pattern — see dual_group_apply_planes)."""
     assert xr.ndim == 4 and xr.shape[-1] == 128
     A1, X, M, _ = xr.shape
     if M % m_blk:
@@ -55,20 +74,30 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
     e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
     bs = cm.blk4
     es = cm.fixed2
-    kern = functools.partial(_kernel, X, dot_mode)
+    has_acc = acc is not None
+    kern = functools.partial(_kernel, X, dot_mode, conj, has_acc)
     blk = (1, X, m_blk, 128)
+    big = pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)
+    in_specs = [big] * 2 + [pl.BlockSpec((X, X), es,
+                                         memory_space=pltpu.VMEM)] * 3
+    args = (xr, xi, e1, e2, e3)
+    if has_acc:
+        in_specs = in_specs + [big, big]
+        args = args + (acc[0].reshape(xr.shape), acc[1].reshape(xr.shape))
+        aliases = {5: 0, 6: 1}
+    else:
+        aliases = {0: 0, 1: 1} if alias else {}
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
                    jax.ShapeDtypeStruct(xr.shape, F32)),
         grid=(A1, M // m_blk),
-        in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 2
-                + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 2,
-        input_output_aliases={0: 0, 1: 1},
+        in_specs=in_specs,
+        out_specs=(big, big),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xr, xi, e1, e2, e3)
+    )(*args)

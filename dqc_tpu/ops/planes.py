@@ -73,6 +73,14 @@ def from_planes(xr: jax.Array, xi: jax.Array, n: int, dtype=jnp.complex64) -> ja
     return (xr + 1j * xi).reshape(-1).astype(dtype)
 
 
+def standard_planes(n: int) -> Tuple[jax.Array, jax.Array]:
+    """|0...0> directly as planes — no 2^n complex buffer is ever built
+    (reference primitives.cu:176-199 zero-fills then sets amplitude 0)."""
+    shape = plane_shape(n)
+    xr = jnp.zeros(shape, F32).at[0, 0, 0].set(1.0)
+    return xr, jnp.zeros(shape, F32)
+
+
 def op_planes(E) -> Tuple[jax.Array, jax.Array]:
     """Complex operator -> (real, imag) f32 parts (host numpy for constants
     so identical block operators embed once)."""
@@ -116,12 +124,54 @@ def _high_view(n: int, j: int) -> Tuple[int, int, int]:
     return pre, X, post * 128
 
 
+def _merged_view(n: int, j: int) -> Tuple[int, int, int, int]:
+    """(pre, X, Xl, M) merging tiny group ``j`` (j >= 3) with its lower
+    neighbour ``j - 1``: planes.reshape(pre, X * Xl, M, 128) puts both
+    groups' bits on one contracted axis of dim >= 256.
+
+    Rationale: at 29 qubits the top group has ONE bit (groups 7,7,7,7,1), so
+    every dense op / Gram on qubit 28 missed the kernel path; the X < 8
+    slice-and-stack fallback materializes full-state concatenate/slice temps
+    ([1, 2, 2^21, 128] f32 = 2 GB each) that XLA keeps live in straight-line
+    unrolled code — the measured 29q fwd+grad OOM driver (27.29G/15.75G,
+    tools/mem29.py). On the merged axis the op is ``kron(E, I)`` and the
+    existing high kernels apply in place."""
+    dims = gr.group_dims(n)
+    G = len(dims)
+    ax = G - 1 - j
+    assert j >= 3, j
+    pre = int(np.prod(dims[:ax], dtype=np.int64)) if ax > 0 else 1
+    X = dims[ax]
+    Xl = dims[ax + 1]
+    post = int(np.prod(dims[ax + 2:G - 2], dtype=np.int64)) if ax + 2 <= G - 3 else 1
+    return pre, X, Xl, post * 128
+
+
+def _kron_id(E, Xl: int):
+    """``E (x) I_Xl`` — host numpy for concrete operators (dedup/cache),
+    traced jnp.kron otherwise."""
+    c = gr.concrete_or_none(E)
+    if c is not None:
+        key = ("KI", c.tobytes(), c.dtype.str, c.shape, Xl)
+        return gr._cached(key, lambda: np.kron(
+            np.asarray(c), np.eye(Xl, dtype=c.dtype)))
+    E = jnp.asarray(E)
+    return jnp.kron(E, jnp.eye(Xl, dtype=E.dtype))
+
+
+def _trace_id(Gm: jax.Array, X: int, Xl: int) -> jax.Array:
+    """Partial trace over the identity factor of a merged-axis (X*Xl, X*Xl)
+    Gram/pair-gram: ``G[x, y] = sum_d Gm[(x,d), (y,d)]``."""
+    return jnp.einsum("xdyd->xy", Gm.reshape(X, Xl, X, Xl))
+
+
 # ---------------------------------------------------------------------------
 # Dense applies
 # ---------------------------------------------------------------------------
 
 def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
-               *, interpret: bool = False):
+               *, alias: bool = True, conj: bool = False, acc=None,
+               interpret: bool = False):
     """One HBM pass applying lane-group operator ``E0`` and sublane-group
     operator ``E1`` (either may be None = identity; both 128x128 complex)."""
     eye = np.eye(128, dtype=np.float32)
@@ -130,6 +180,7 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
     e1r, e1i = op_planes(E1) if E1 is not None else (eye, zr)
     return dual_group_apply_planes(xr, xi, e0r, e0i, e1r, e1i,
                                    dot_mode=config.kernel_dot_mode(),
+                                   alias=alias, conj=conj, acc=acc,
                                    interpret=interpret)
 
 
@@ -154,28 +205,55 @@ def _apply_high_smallx(vxr, vxi, er, ei, X: int):
     return jnp.stack(outr, axis=1), jnp.stack(outi, axis=1)
 
 
-def apply_high(xr, xi, E, j: int, n: int, *, interpret: bool = False):
+def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
+               conj: bool = False, acc=None, interpret: bool = False):
     """Dense full-group operator on high group ``j >= 2`` (one pass)."""
     pre, X, M = _high_view(n, j)
-    er, ei = op_planes(E)
-    vxr = xr.reshape(pre, X, M, 128)
-    vxi = xi.reshape(pre, X, M, 128)
     if X >= MIN_KERNEL_X:
+        er, ei = op_planes(E)
+        vxr = xr.reshape(pre, X, M, 128)
+        vxi = xi.reshape(pre, X, M, 128)
         yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
                                          dot_mode=config.kernel_dot_mode(),
+                                         alias=alias, conj=conj, acc=acc,
+                                         interpret=interpret)
+    elif j >= 3:
+        # tiny top group: merged-axis kernel (see _merged_view)
+        pre, X, Xl, M = _merged_view(n, j)
+        er, ei = op_planes(_kron_id(E, Xl))
+        vxr = xr.reshape(pre, X * Xl, M, 128)
+        vxi = xi.reshape(pre, X * Xl, M, 128)
+        yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
+                                         dot_mode=config.kernel_dot_mode(),
+                                         alias=alias, conj=conj, acc=acc,
                                          interpret=interpret)
     else:
+        # small-n fallback (j == 2 tiny): elementwise, XLA fuses conj/acc
+        er, ei = op_planes(E)
+        vxr = xr.reshape(pre, X, M, 128)
+        vxi = xi.reshape(pre, X, M, 128)
         yr, yi = _apply_high_smallx(vxr, vxi, er, ei, X)
+        if conj:
+            yi = -yi
+        if acc is not None:
+            yr = acc[0].reshape(yr.shape) + yr
+            yi = acc[1].reshape(yi.shape) + yi
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
-def apply_block(xr, xi, E, j: int, n: int, *, interpret: bool = False):
-    """Dense full-group operator on any group axis."""
+def apply_block(xr, xi, E, j: int, n: int, *, alias: bool = True,
+                conj: bool = False, acc=None, interpret: bool = False):
+    """Dense full-group operator on any group axis. ``conj``/``acc``: emit
+    ``acc + conj(E x)`` with the accumulator updated in place (density
+    seeds)."""
     if j == 0:
-        return apply_dual(xr, xi, E, None, interpret=interpret)
+        return apply_dual(xr, xi, E, None, alias=alias, conj=conj, acc=acc,
+                          interpret=interpret)
     if j == 1:
-        return apply_dual(xr, xi, None, E, interpret=interpret)
-    return apply_high(xr, xi, E, j, n, interpret=interpret)
+        return apply_dual(xr, xi, None, E, alias=alias, conj=conj, acc=acc,
+                          interpret=interpret)
+    return apply_high(xr, xi, E, j, n, alias=alias, conj=conj, acc=acc,
+                      interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +370,14 @@ def gram_axis(xr, xi, j: int, n: int, *, interpret: bool = False) -> jax.Array:
     else:
         pre, X, M = _high_view(n, j)
         if X < MIN_KERNEL_X:
-            return _gram_axis_xla(xr, xi, j, n)
+            if j < 3:
+                return _gram_axis_xla(xr, xi, j, n)
+            # tiny top group: merged-axis kernel Gram, partial-traced back
+            pre, X, Xl, M = _merged_view(n, j)
+            S, C = gram_high(xr.reshape(pre, X * Xl, M, 128),
+                             xi.reshape(pre, X * Xl, M, 128),
+                             dot_mode=mode, interpret=interpret)
+            return _trace_id(S + 1j * (C.T - C), X, Xl)
         S, C = gram_high(xr.reshape(pre, X, M, 128), xi.reshape(pre, X, M, 128),
                          dot_mode=mode, interpret=interpret)
     return S + 1j * (C.T - C)
@@ -369,7 +454,23 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
             interpret=interpret)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
                 br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
-    # tiny top group: fusable elementwise formulation (see _apply_high_smallx)
+    if j >= 3:
+        # tiny top group: merged-axis kernel; the group's pair-gram is the
+        # partial trace of the merged one over the kron-identity factor
+        pre, X, Xl, M = _merged_view(n, j)
+        shape4 = (pre, X * Xl, M, 128)
+        einv_r, einv_i = op_planes(_kron_id(Einv, Xl))
+        e_r, e_i = op_planes(_kron_id(E, Xl))
+        fr, fi, br, bi, t0r, t0i = block_backward_high(
+            fxr.reshape(shape4), fxi.reshape(shape4),
+            bxr.reshape(shape4), bxi.reshape(shape4),
+            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+            interpret=interpret)
+        T0 = _trace_id(t0r + 1j * t0i, X, Xl)
+        return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+                br.reshape(fxr.shape), bi.reshape(fxr.shape), T0)
+    # tiny group just above the minors: fusable elementwise formulation
+    # (see _apply_high_smallx)
     fr, fi = apply_high(fxr, fxi, Einv, j, n, interpret=interpret)
     vfr = fr.reshape(shape4)
     vfi = fi.reshape(shape4)

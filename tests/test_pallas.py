@@ -231,3 +231,89 @@ def test_diag_backward_planes_matches_oracle(with_q):
         np.testing.assert_allclose(np.asarray(Qk[2]), Q.sum(axis=1), rtol=1e-4, atol=1e-3)
     else:
         assert Qk is None
+
+
+def test_merged_tiny_top_group_paths():
+    """n=22 -> groups (7,7,7,1): dense apply / backward / Gram on the 1-bit
+    top group must take the merged-axis kernel (kron(E, I) on a 256 axis),
+    not the slice-and-stack fallback (the 29q OOM driver)."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 22
+    j = 3
+    rng = np.random.default_rng(31)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    bwd = oracles.random_state(rng, n).astype(np.complex64)
+    E = oracles.random_unitary(rng, 1).astype(np.complex64)
+    Einv = np.linalg.inv(E).astype(np.complex64)
+
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    want_apply = gr.apply_group_matrix(t, jnp.asarray(E), j)
+    want_gram = gr.group_gram(t, j)
+
+    shape = (1 << (n - 14), 128, 128)
+    xr = jnp.asarray(psi.real.reshape(shape))
+    xi = jnp.asarray(psi.imag.reshape(shape))
+
+    yr, yi = pln.apply_high(xr, xi, jnp.asarray(E), j, n, interpret=True)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(-1)
+    np.testing.assert_allclose(got, np.asarray(want_apply).reshape(-1),
+                               rtol=3e-5, atol=3e-5)
+
+    got_gram = np.asarray(pln.gram_axis(xr, xi, j, n, interpret=True))
+    np.testing.assert_allclose(got_gram, np.asarray(want_gram),
+                               rtol=3e-5, atol=2e-3)
+
+    # backward: fwd_in = Einv fwd_out; bwd' = E^T bwd; T0 = pair-gram
+    t_b = gr.to_grouped(jnp.asarray(bwd), n)
+    want_fi = gr.apply_group_matrix(t, jnp.asarray(Einv), j)
+    want_bn = gr.apply_group_matrix(t_b, jnp.asarray(E).T, j)
+    want_t0 = gr.group_pair_gram(want_fi, t_b, j)
+
+    br = jnp.asarray(bwd.real.reshape(shape))
+    bi = jnp.asarray(bwd.imag.reshape(shape))
+    fr, fi_, bnr, bni, T0 = pln.backward_block(
+        xr, xi, br, bi, jnp.asarray(Einv), jnp.asarray(E), j, n,
+        interpret=True)
+    np.testing.assert_allclose(
+        (np.asarray(fr) + 1j * np.asarray(fi_)).reshape(-1),
+        np.asarray(want_fi).reshape(-1), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(
+        (np.asarray(bnr) + 1j * np.asarray(bni)).reshape(-1),
+        np.asarray(want_bn).reshape(-1), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(T0), np.asarray(want_t0),
+                               rtol=2e-4, atol=5e-3)
+
+
+def test_apply_conj_acc_modes():
+    """conj/acc kernel modes: acc' = acc + conj(E x), acc aliased in place,
+    x preserved — the one-accumulator density-seed pattern."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 16
+    rng = np.random.default_rng(41)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    acc0 = oracles.random_state(rng, n).astype(np.complex64)
+    shape = (4, 128, 128)
+    xr = jnp.asarray(psi.real.reshape(shape))
+    xi = jnp.asarray(psi.imag.reshape(shape))
+    t = gr.to_grouped(jnp.asarray(psi), n)
+
+    for j, gbits in ((0, 7), (1, 7), (2, 2)):
+        E = oracles.random_unitary(rng, gbits).astype(np.complex64)
+        want = np.asarray(acc0).reshape(shape) + np.conj(
+            np.asarray(gr.apply_group_matrix(t, jnp.asarray(E), j))
+        ).reshape(shape)
+        ar = jnp.asarray(acc0.real.reshape(shape))
+        ai = jnp.asarray(acc0.imag.reshape(shape))
+        yr, yi = pln.apply_block(xr, xi, jnp.asarray(E), j, n,
+                                 alias=False, conj=True, acc=(ar, ai),
+                                 interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+        # conj without acc
+        yr2, yi2 = pln.apply_block(xr, xi, jnp.asarray(E), j, n,
+                                   alias=False, conj=True, interpret=True)
+        got2 = np.asarray(yr2) + 1j * np.asarray(yi2)
+        np.testing.assert_allclose(got2, want - np.asarray(acc0).reshape(shape),
+                                   rtol=3e-5, atol=3e-5)

@@ -564,3 +564,27 @@ def test_plane_tape_edge_cases(plane_mode):
     r3 = jax.grad(lambda v: loss3(v, fused_tape_forward))(vg)
     np.testing.assert_allclose(np.asarray(g3[0]), np.asarray(r3[0]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_vqe_model_std_path_parity(plane_mode):
+    """VQE-Ising (const Hadamard prologue + layers + epilogue) through the
+    fully plane-resident standard-state op vs the XLA path — the 29q memory
+    diet must not change values or gradients."""
+    from dqc_tpu.circuit.plane_scan import (
+        _tape_all_const,
+        plane_tape_eligible,
+    )
+    from dqc_tpu.models.vqe_ising import VQEIsing
+
+    m = VQEIsing(14, 3, dtype=C64, scan=True)
+    assert plane_tape_eligible(m._pro_ftape, C64)
+    assert _tape_all_const(m._pro_ftape)
+    params = m.init_params(jax.random.PRNGKey(5))
+
+    v_pl, g_pl = jax.value_and_grad(m.energy)(params)
+    config.set_plane_engine(False)
+    v_ref, g_ref = jax.value_and_grad(m.energy)(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
