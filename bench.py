@@ -25,10 +25,11 @@ import jax.numpy as jnp
 
 
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
-# 29q fwd+grad is a profiled HBM OOM on one v5e (BENCHMARKS.md "29-qubit
-# single-chip profile"): the reverse-scan (fwd,bwd) carry floor exceeds
-# 15.75 GB. 28q is the single-chip ceiling; probe 29q with tools/mem29.py.
-QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "28,26,24").split(",")]
+# 29q is the single-chip ceiling: the O(1)-memory adjoint keeps two 4 GB
+# states live (plane pairs), and 30q would need 2 x 8 GB > 15.75 GB HBM.
+# 29q fwd+grad compiles and runs since the round-2 memory diet
+# (plane_std_scan_densities + merged-axis kernels + in-kernel seeds).
+QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "29,28,26").split(",")]
 LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "8"))
 REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
 

@@ -40,6 +40,7 @@ from dqc_tpu.circuit.fused_autograd import (
     _astype_host,
     _block_ops,
     _compose,
+    _inv_dense,
     _inv_diag,
     _ref_gate,
     dense_block_var_cts,
@@ -61,7 +62,9 @@ def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
             return False  # layer tapes are gate-only; densities -> epilogue
         if isinstance(fi, FCross):
             if not fi.diag:
-                return False  # dense cross-group gates: complex engine
+                if len(fi.positions) != 2:
+                    return False  # k>=3 dense spanning groups: complex engine
+                continue  # 2q dense cross: Schmidt-term accumulate applies
             groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
             if len(groups) > 2:
                 return False  # >2-group diagonal: complex engine
@@ -153,6 +156,8 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
             run = []
         if isinstance(fi, FDensity):
             items.append(("dens", i))
+        elif isinstance(fi, FCross):
+            items.append(("dcross", i))  # dense 2q spanning two groups
         else:
             items.append(("dense", i, j))
     if run:
@@ -378,8 +383,19 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
     writes BOTH the fwd and bwd planes in one kernel = 2 passes.
     """
     program = plane_program(ftape)
-    gate_items = sum(1 for item in program if item[0] != "dens")
-    return float(gate_items), 2.0 * gate_items
+    fwd = bwd = 0.0
+    for item in program:
+        if item[0] == "dens":
+            continue
+        if item[0] == "dcross":
+            # ~2 passes per Schmidt term (apply + accumulate), term count
+            # gate-dependent; 4 is the generic rank bound
+            fwd += 8.0
+            bwd += 16.0
+        else:
+            fwd += 1.0
+            bwd += 2.0
+    return fwd, bwd
 
 
 # ---------------------------------------------------------------------------
@@ -414,12 +430,74 @@ def _apply_dense_item(xr, xi, i, j, ftape, var_gates, const_gates):
     return pl.apply_block(xr, xi, E, fi.group, n, interpret=interp)
 
 
+# ---------------------------------------------------------------------------
+# Dense cross-group (2-qubit) gates on planes
+#
+# G = sum_i A_i (x) B_i (operator-Schmidt, A on pos2): each term is two
+# independent group-axis applies. The accumulate kernel mode chains the sum
+# through ONE aliased accumulator — x is read r times (alias=False), each
+# term's intermediate reuses one buffer: 3 plane-pairs live, ~2r HBM passes
+# (r <= 4; 2 for CNOT/controlled-U). The reference sweeps once per 2q gate
+# regardless (primitives.cu:573-620) but cannot fuse anything around it.
+# ---------------------------------------------------------------------------
+
+def _schmidt_pruned(gate4):
+    """schmidt_terms with concrete zero-weight terms dropped host-side."""
+    As, Bs = gr.schmidt_terms(gate4)
+    ca, cb = gr.concrete_or_none(As), gr.concrete_or_none(Bs)
+    if ca is not None and cb is not None:
+        keep = [i for i in range(ca.shape[0])
+                if np.abs(ca[i]).max() * np.abs(cb[i]).max() > 1e-12]
+        return [(ca[i], cb[i]) for i in keep]
+    return [(As[i], Bs[i]) for i in range(4)]
+
+
+def _apply_dense_cross(xr, xi, gate4, positions, n: int, interp):
+    p2, p1 = positions
+    j2, r2 = gr.group_of_bit(n, p2)
+    j1, r1 = gr.group_of_bit(n, p1)
+    sizes = gr.group_sizes_low_first(n)
+    acc = None
+    for A, B in _schmidt_pruned(gate4):
+        EA = gr.expand_in_group(jnp.asarray(A), (r2,), sizes[j2])
+        EB = gr.expand_in_group(jnp.asarray(B), (r1,), sizes[j1])
+        tr, ti = pl.apply_block(xr, xi, EB, j1, n, alias=False,
+                                interpret=interp)
+        acc = pl.apply_block(tr, ti, EA, j2, n, acc=acc, interpret=interp)
+    return acc
+
+
+def _plane_pair_grad(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
+    """Dense cross-gate cotangent ``W[p, q] = sum_b bwd[p, b] fwd[q, b]``
+    on planes (groups.pair_grad in real pairs, reference primitives.cu:219)."""
+    dims = gr.group_dims(n)
+    Fr = gr.subblocks(fxr.reshape(dims), positions, n)
+    Fi = gr.subblocks(fxi.reshape(dims), positions, n)
+    Br = gr.subblocks(bxr.reshape(dims), positions, n)
+    Bi = gr.subblocks(bxi.reshape(dims), positions, n)
+    prec = config.matmul_precision()
+    t1 = jnp.matmul(Br + Bi, Fr.T, precision=prec)
+    t2 = jnp.matmul(Bi, (Fr + Fi).T, precision=prec)
+    t3 = jnp.matmul(Br, (Fi - Fr).T, precision=prec)
+    return (t1 - t2) + 1j * (t1 + t3)
+
+
+def _cross_dense_gate(fi: FCross, var_gates, const_gates):
+    kk = 1 << len(fi.positions)
+    return _cross_gate(fi, var_gates, const_gates).reshape(kk, kk)
+
+
 def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
     """Gate-only forward over a plane program (no density items)."""
     for item in program:
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "dcross":
+            fi = ftape.instructions[item[1]]
+            xr, xi = _apply_dense_cross(
+                xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
+                fi.positions, ftape.n, _interpret())
         else:
             assert item[0] == "dense", item
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
@@ -436,6 +514,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
             fxr, fxi, bxr, bxi = _diag_run_backward(
                 fxr, fxi, bxr, bxi, item[1], ftape, var_gates, const_gates,
                 var_cts)
+        elif item[0] == "dcross":
+            fxr, fxi, bxr, bxi = _backward_dense_cross(
+                fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
+                var_gates, const_gates, var_cts)
         elif item[2] is None:
             fxr, fxi, bxr, bxi = _backward_step(
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
@@ -445,6 +527,25 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]],
                 ftape.instructions[item[2]], ftape, var_gates, const_gates,
                 var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _backward_dense_cross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
+                          const_gates, var_cts: Dict[int, jax.Array]):
+    """Adjoint of a dense cross-group gate: uncompute with G^-1 (Schmidt
+    terms), pair-grad on the restored planes, transport with G^T — the plane
+    mirror of fused_autograd's FCross dense branch (reference
+    circuit.rs:348-362)."""
+    n = ftape.n
+    interp = _interpret()
+    m = _cross_dense_gate(fi, var_gates, const_gates)
+    fxr, fxi = _apply_dense_cross(
+        fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)), fi.positions,
+        n, interp)
+    if fi.var:
+        var_cts[fi.queue_idx] = _plane_pair_grad(fxr, fxi, bxr, bxi,
+                                                 fi.positions, n)
+    bxr, bxi = _apply_dense_cross(bxr, bxi, m.T, fi.positions, n, interp)
     return fxr, fxi, bxr, bxi
 
 
@@ -1065,10 +1166,12 @@ def plane_full_tape_eligible(ftape: FusedTape, dtype) -> bool:
                 return False
         elif isinstance(fi, FCross):
             if not fi.diag:
-                return False
-            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
-            if len(groups) > 2:
-                return False
+                if len(fi.positions) != 2:
+                    return False
+            else:
+                groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
+                if len(groups) > 2:
+                    return False
     return True
 
 
@@ -1093,7 +1196,7 @@ def _trim_program(program, stop_after: Optional[int]):
             keep = tuple(i for i in item[1] if i <= stop_after)
             if keep:
                 out.append(("diag", keep))
-        elif item[0] == "dens":
+        elif item[0] in ("dens", "dcross"):
             if item[1] <= stop_after:
                 out.append(item)
         else:
@@ -1130,6 +1233,11 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "dcross":
+            fi = ftape.instructions[item[1]]
+            xr, xi = _apply_dense_cross(
+                xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
+                fi.positions, n, _interpret())
         else:
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
                                        var_gates, const_gates)
@@ -1143,6 +1251,11 @@ def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
     sizes = gr.group_sizes_low_first(n)
     interp = _interpret()
     if isinstance(fi, FCross):
+        if not fi.diag:
+            m = _cross_dense_gate(fi, var_gates, const_gates)
+            return _apply_dense_cross(
+                fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)),
+                fi.positions, n, interp)
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
         ctx = f"cross-group diag gate, queue index {fi.queue_idx}"
         inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary, ctx),

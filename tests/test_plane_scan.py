@@ -217,11 +217,15 @@ def test_schedule_dual_pairs():
 
 
 def test_ineligible_tapes_fall_back():
-    # dense cross-group gate -> not plane-eligible
+    # 2q dense cross-group gates ARE eligible since round 2 (Schmidt-term
+    # accumulate sweeps); a k>=3 dense gate spanning groups is not
     c = AutoGradCircuit(16, dtype=C64)
     c.add_q2_var_gate(6, 7)
     ftape = fuse_layer(c.tape)
-    assert not plane_tape_eligible(ftape, C64)
+    assert plane_tape_eligible(ftape, C64)
+    ck = AutoGradCircuit(16, dtype=C64)
+    ck.add_gate([5, 6, 7], var=True)
+    assert not plane_tape_eligible(fuse_layer(ck.tape), C64)
     # too few qubits
     c2 = AutoGradCircuit(10, dtype=C64)
     c2.add_q1_var_gate(0)
@@ -588,3 +592,65 @@ def test_vqe_model_std_path_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [15, 16])
+def test_dense_cross_model_parity(plane_mode, n):
+    """CNOT-entangled hardware-efficient ansatz: the ring's group-boundary
+    CNOTs are DENSE cross-group gates, executed in the plane engine as
+    Schmidt-term accumulate sweeps (round-1 limitation: whole-layer
+    fallback). Value + grad parity vs the complex engine."""
+    from dqc_tpu.circuit.plane_scan import plane_tape_eligible as pte
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    m = HardwareEfficientAnsatz(n, 2, entangler="cnot", dtype=C64, scan=True)
+    assert pte(m._layer_ftape, C64)  # dense crosses no longer disqualify
+    params = m.init_params(jax.random.PRNGKey(7))
+
+    v_pl, g_pl = jax.value_and_grad(m.magnetization)(params)
+    config.set_plane_engine(False)
+    v_ref, g_ref = jax.value_and_grad(m.magnetization)(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_dense_cross_var_gate_tape_parity(plane_mode):
+    """A var dense 2q gate straddling each boundary type (lane-sublane,
+    sublane-high, lane-high) through the direct build() plane-tape path:
+    densities and gate gradients must match the complex engine."""
+    n = 15
+    rng = np.random.default_rng(9)
+
+    def build_and_run(force_plane):
+        config.set_plane_engine(True if force_plane else False)
+        c = AutoGradCircuit(n, dtype=C64)
+        c.add_q2_var_gate(7, 6)     # sublane x lane
+        c.add_q2_var_gate(14, 13)   # high x sublane
+        c.add_q2_var_gate(14, 0)    # high x lane
+        c.add_q1_var_gate(3)
+        c.get_q1_dens_op_with_grad(6)
+        c.get_q1_dens_op_with_grad(14)
+        _, adiff = c.build()
+
+        g2 = [rand_su2(rng) for _ in range(3)]
+        gates = [np.kron(a, b).astype(np.complex64).reshape(-1)
+                 for a, b in zip(g2, [rand_su2(rng) for _ in range(3)])]
+        gates.append(rand_su2(rng).reshape(-1))
+        gates = [jnp.asarray(g) for g in gates]
+
+        def loss(gs):
+            dens = adiff(gs, [])
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+
+        return jax.value_and_grad(loss)(gates)
+
+    rng = np.random.default_rng(9)
+    v_pl, g_pl = build_and_run(True)
+    rng = np.random.default_rng(9)
+    v_ref, g_ref = build_and_run(False)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
