@@ -61,13 +61,10 @@ def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
         if isinstance(fi, FDensity):
             return False  # layer tapes are gate-only; densities -> epilogue
         if isinstance(fi, FCross):
-            if not fi.diag:
-                if len(fi.positions) != 2:
-                    return False  # k>=3 dense spanning groups: complex engine
-                continue  # 2q dense cross: Schmidt-term accumulate applies
-            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
-            if len(groups) > 2:
-                return False  # >2-group diagonal: complex engine
+            if not fi.diag and len(fi.positions) != 2:
+                return False  # k>=3 dense spanning groups: complex engine
+            # 2q dense cross: Schmidt-term accumulate applies; diagonals of
+            # any span: joint tables / broadcast multiply
     return True
 
 
@@ -142,6 +139,7 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
     consecutive stretch of commuting diagonals — in-group blocks and
     cross-group tables — executes as ONE aliased kernel pass,
     ops/pallas/diag.py), and ``('dens', i)`` density requests."""
+    n = ftape.n
     items: List[Tuple] = []
     run: List[int] = []
     for i, j in schedule_dual_pairs(ftape):
@@ -149,10 +147,17 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
         is_diag = (isinstance(fi, FCross) and fi.diag) or (
             isinstance(fi, FBlock) and fi.all_diag)
         if is_diag:
-            run.append(i)
+            if (isinstance(fi, FCross) and len(
+                    {gr.group_of_bit(n, p)[0] for p in fi.positions}) > 2):
+                # >2-group diagonal: joint broadcast multiply ('mdiag') —
+                # still commutes with the run, but its table does not fold
+                # into the 3-factor diag-run form
+                run.append(("m", i))
+            else:
+                run.append(i)
             continue
         if run:
-            items.append(("diag", tuple(run)))
+            items.extend(_split_diag_run(run))
             run = []
         if isinstance(fi, FDensity):
             items.append(("dens", i))
@@ -161,8 +166,21 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
         else:
             items.append(("dense", i, j))
     if run:
-        items.append(("diag", tuple(run)))
+        items.extend(_split_diag_run(run))
     return tuple(items)
+
+
+def _split_diag_run(run) -> List[Tuple]:
+    """A pending diagonal stretch -> ('diag', idxs) kernel runs with
+    ('mdiag', i) broadcast items interleaved (order within the stretch is
+    free: diagonals commute)."""
+    plain = tuple(i for i in run if not isinstance(i, tuple))
+    items: List[Tuple] = []
+    if plain:
+        items.append(("diag", plain))
+    items.extend(("mdiag", i) for kind, i in
+                 (x for x in run if isinstance(x, tuple)))
+    return items
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +410,9 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
             # gate-dependent; 4 is the generic rank bound
             fwd += 8.0
             bwd += 16.0
+        elif item[0] == "mdiag":
+            fwd += 1.0
+            bwd += 3.0  # uncompute + subblock gram + transport
         else:
             fwd += 1.0
             bwd += 2.0
@@ -493,6 +514,10 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "mdiag":
+            fi = ftape.instructions[item[1]]
+            d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+            xr, xi = pl.apply_multi_diag(xr, xi, d, fi.positions, ftape.n)
         elif item[0] == "dcross":
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_dense_cross(
@@ -514,6 +539,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
             fxr, fxi, bxr, bxi = _diag_run_backward(
                 fxr, fxi, bxr, bxi, item[1], ftape, var_gates, const_gates,
                 var_cts)
+        elif item[0] == "mdiag":
+            fxr, fxi, bxr, bxi = _backward_multi_diag(
+                fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
+                var_gates, const_gates, var_cts)
         elif item[0] == "dcross":
             fxr, fxi, bxr, bxi = _backward_dense_cross(
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
@@ -527,6 +556,22 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]],
                 ftape.instructions[item[2]], ftape, var_gates, const_gates,
                 var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _backward_multi_diag(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
+                         const_gates, var_cts: Dict[int, jax.Array]):
+    """Adjoint of a >2-group diagonal: broadcast uncompute with d^-1,
+    subblock pair-grad, transport with d (fused_autograd's diag FCross
+    branch on planes)."""
+    n = ftape.n
+    d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
+    fxr, fxi = pl.apply_multi_diag(
+        fxr, fxi, _inv_diag(d, fi.unitary, _cross_ctx(fi)), fi.positions, n)
+    if fi.var:
+        var_cts[fi.queue_idx] = pl.multi_diag_gram(fxr, fxi, bxr, bxi,
+                                                   fi.positions, n)
+    bxr, bxi = pl.apply_multi_diag(bxr, bxi, d, fi.positions, n)
     return fxr, fxi, bxr, bxi
 
 
@@ -1165,13 +1210,8 @@ def plane_full_tape_eligible(ftape: FusedTape, dtype) -> bool:
             if len(groups) != 1:
                 return False
         elif isinstance(fi, FCross):
-            if not fi.diag:
-                if len(fi.positions) != 2:
-                    return False
-            else:
-                groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
-                if len(groups) > 2:
-                    return False
+            if not fi.diag and len(fi.positions) != 2:
+                return False
     return True
 
 
@@ -1196,7 +1236,7 @@ def _trim_program(program, stop_after: Optional[int]):
             keep = tuple(i for i in item[1] if i <= stop_after)
             if keep:
                 out.append(("diag", keep))
-        elif item[0] in ("dens", "dcross"):
+        elif item[0] in ("dens", "dcross", "mdiag"):
             if item[1] <= stop_after:
                 out.append(item)
         else:
@@ -1233,6 +1273,11 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "mdiag":
+            fi = ftape.instructions[item[1]]
+            xr, xi = pl.apply_multi_diag(
+                xr, xi, _cross_gate(fi, var_gates, const_gates).reshape(-1),
+                fi.positions, n)
         elif item[0] == "dcross":
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_dense_cross(
@@ -1258,8 +1303,10 @@ def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
                 fi.positions, n, interp)
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
         ctx = f"cross-group diag gate, queue index {fi.queue_idx}"
-        inv_t2, ja, jb = gr.cross_diag_table(_inv_diag(d, fi.unitary, ctx),
-                                             fi.positions, n)
+        dinv = _inv_diag(d, fi.unitary, ctx)
+        if len({gr.group_of_bit(n, p)[0] for p in fi.positions}) > 2:
+            return pl.apply_multi_diag(fxr, fxi, dinv, fi.positions, n)
+        inv_t2, ja, jb = gr.cross_diag_table(dinv, fi.positions, n)
         return pl.apply_cross_diag(fxr, fxi, inv_t2, ja, jb, n)
     g = sizes[fi.group]
     if fi.all_diag:

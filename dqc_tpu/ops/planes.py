@@ -28,7 +28,7 @@ CPU for tests.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -281,6 +281,65 @@ def apply_diag_axis(xr, xi, table, j: int, n: int):
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
+def _axis_indicators(positions, n: int):
+    """Per gate-index-value mask factors: for each of the ``2^k`` diagonal
+    entries, the set of (axis, 0/1-indicator vector) factors whose broadcast
+    product selects the amplitudes with that bit pattern (positions
+    msb-first, matching groups.subblocks)."""
+    dims = gr.group_dims(n)
+    G = len(dims)
+    k = len(positions)
+    out = []
+    for j in range(1 << k):
+        factors: Dict[int, np.ndarray] = {}
+        for gate_bit, p in enumerate(positions):
+            jg, rel = gr.group_of_bit(n, p)
+            ax = G - 1 - jg
+            want = (j >> (k - 1 - gate_bit)) & 1
+            v = (((np.arange(dims[ax]) >> rel) & 1) == want).astype(np.float32)
+            factors[ax] = factors.get(ax, np.ones(dims[ax], np.float32)) * v
+        out.append(factors)
+    return out
+
+
+def apply_multi_diag(xr, xi, d, positions, n: int):
+    """Diagonal k-qubit gate spanning ANY number of groups: the joint table
+    is assembled as ``sum_j d[j] * (mask_j broadcast product)`` (tiny
+    concrete 0/1 axis vectors, no gather) and applied as one fused
+    elementwise multiply — closes the plane engine's >2-group-diagonal
+    fallback (complex-engine counterpart: groups.apply_diag)."""
+    dims = gr.group_dims(n)
+    G = len(dims)
+    d = jnp.asarray(d).reshape(-1)
+    tr = ti = None
+    for j, factors in enumerate(_axis_indicators(positions, n)):
+        m = None
+        for ax, v in factors.items():
+            sh = [1] * G
+            sh[ax] = dims[ax]
+            b = jnp.asarray(v).reshape(sh)
+            m = b if m is None else m * b
+        term_r = d[j].real * m
+        term_i = d[j].imag * m
+        tr = term_r if tr is None else tr + term_r
+        ti = term_i if ti is None else ti + term_i
+    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims), tr, ti)
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def multi_diag_gram(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
+    """``W[j] = sum_b bwd[j, b] fwd[j, b]`` over the gate-bit subblocks
+    (the diag-gate cotangent, groups.diag_pair_grad on real planes)."""
+    dims = gr.group_dims(n)
+    Fr = gr.subblocks(fxr.reshape(dims), positions, n)
+    Fi = gr.subblocks(fxi.reshape(dims), positions, n)
+    Br = gr.subblocks(bxr.reshape(dims), positions, n)
+    Bi = gr.subblocks(bxi.reshape(dims), positions, n)
+    wr = jnp.sum(Br * Fr - Bi * Fi, axis=1)
+    wi = jnp.sum(Br * Fi + Bi * Fr, axis=1)
+    return wr + 1j * wi
+
+
 def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
     """Joint diagonal over two group axes; ``table2``: (dim_j2, dim_j1)."""
     dims = gr.group_dims(n)
@@ -304,8 +363,10 @@ def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
 # ---------------------------------------------------------------------------
 
 def _pair_planes(t):
-    t = jnp.asarray(t)
-    return t.real.astype(F32), t.imag.astype(F32)
+    # host-side split for concrete tables: a complex64 host array cannot be
+    # device_put on the axon TPU backend (real-pair marshalling protocol,
+    # utils/boundary.py), and splitting host-side also dedups constants
+    return _table_planes(t)
 
 
 def apply_diag_run(xr, xi, tables, *, interpret: bool = False):

@@ -654,3 +654,71 @@ def test_dense_cross_var_gate_tape_parity(plane_mode):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_multi_group_diag_tape_parity(plane_mode):
+    """A var diagonal spanning THREE groups (qubits 0, 7, 14 at n=15) plus a
+    2-group diag in the same commuting stretch: plane engine vs complex
+    engine, values and gradients (closes the >2-group-diagonal fallback)."""
+    n = 15
+    rng = np.random.default_rng(13)
+
+    def run(force_plane):
+        config.set_plane_engine(True if force_plane else False)
+        c = AutoGradCircuit(n, dtype=C64)
+        c.add_diag_gate([14, 7, 0], var=True)
+        c.add_q2_var_gate_diag(8, 1)
+        c.add_q1_var_gate(2)
+        c.get_q1_dens_op_with_grad(0)
+        c.get_q1_dens_op_with_grad(14)
+        _, adiff = c.build()
+
+        r = np.random.default_rng(13)
+        d3 = np.exp(1j * r.normal(size=8)).astype(np.complex64)
+        d2 = np.exp(1j * r.normal(size=4)).astype(np.complex64)
+        u = rand_su2(r).reshape(-1)
+        gates = [jnp.asarray(d3), jnp.asarray(d2), jnp.asarray(u)]
+
+        def loss(gs):
+            dens = adiff(gs, [])
+            return sum(jnp.sum(jnp.abs(dm) ** 2) for dm in dens).real
+
+        return jax.value_and_grad(loss)(gates)
+
+    v_pl, g_pl = run(True)
+    v_ref, g_ref = run(False)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_multi_group_diag_scan_parity(plane_mode):
+    """Layer scan with a 3-group var diagonal: plane vs XLA scan engines."""
+    n = 15
+    c = AutoGradCircuit(n, dtype=C64)
+    c.add_diag_gate([14, 7, 0], var=True)
+    c.add_q1_var_gate(5)
+    ftape = fuse_layer(c.tape)
+    assert plane_tape_eligible(ftape, C64)
+
+    rng = np.random.default_rng(17)
+    L = 2
+    d_st = jnp.asarray(np.exp(1j * rng.normal(size=(L, 8))).astype(np.complex64))
+    u_st = jnp.asarray(np.stack(
+        [rand_su2(rng).reshape(-1) for _ in range(L)]))
+    stacked = (d_st, u_st)
+    init = rand_state(n, seed=3)
+
+    def loss_with(layers_fn):
+        def loss(sg):
+            state = layers_fn(ftape, init, sg, ())
+            return jnp.sum(jnp.abs(state.reshape(-1)[: 1 << 9]) ** 2).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(loss_with(_scanned_layers_xla))(stacked)
+    v_pl, g_pl = jax.value_and_grad(loss_with(plane_scanned_layers))(stacked)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)

@@ -181,3 +181,111 @@ def test_gram_on_hardware(which):
     scale = np.abs(A + B).max()
     np.testing.assert_allclose(np.asarray(S), A + B, rtol=0, atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(C), Cw, rtol=0, atol=3e-5 * scale)
+
+
+def _dev_planes(key, shape):
+    """Random planes generated ON DEVICE (the axon tunnel rejects host->
+    device transfers of complex arrays and of large f32 buffers)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    return (jax.random.normal(k1, shape, jnp.float32),
+            jax.random.normal(k2, shape, jnp.float32))
+
+
+def _max_err(got, want):
+    """max |got - want| fetched as ONE scalar (no big host fetches)."""
+    return float(jnp.max(jnp.abs(got - want)))
+
+
+@skip_no_tpu
+def test_diag_run_kernels_on_hardware():
+    """ONE jitted program (eager per-op remote compiles blow the budget);
+    only scalar errors are fetched."""
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(5)
+    A = 4
+
+    def rnd(shape):
+        ph = np.exp(1j * rng.uniform(0, 2 * np.pi, shape))
+        return (ph * (1.0 + 0.1 * rng.standard_normal(shape))).astype(np.complex64)
+
+    tsl, tas, tal = rnd((128, 128)), rnd((A, 128)), rnd((A, 128))
+    cpx = jax.lax.complex  # x64-proof: 1j* promotes to C128 (no TPU support)
+
+    @jax.jit
+    def check():
+        xr, xi = _dev_planes(5, (A, 128, 128))
+        br, bi = _dev_planes(7, (A, 128, 128))
+
+        def dev_c(t):
+            return cpx(jnp.asarray(t.real.copy()), jnp.asarray(t.imag.copy()))
+
+        Dj = dev_c(tas)[:, :, None] * dev_c(tal)[:, None, :] \
+            * dev_c(tsl)[None, :, :]
+        x = cpx(xr, xi)
+        b = cpx(br, bi)
+        Q = b * x
+        yr, yi = pln.apply_diag_run(xr, xi, (tsl, tas, tal))
+        fr, fi_, bnr, bni, Qk = pln.backward_diag_run(
+            xr, xi, br, bi, (1 / tsl, 1 / tas, 1 / tal), (tsl, tas, tal),
+            with_q=True)
+
+        def me(got, want):
+            return jnp.max(jnp.abs(got - want))
+
+        return (me(cpx(yr, yi), x * Dj), me(cpx(fr, fi_), x / Dj),
+                me(cpx(bnr, bni), b * Dj), me(Qk[0], Q.sum(axis=0)),
+                me(Qk[1], Q.sum(axis=2)), me(Qk[2], Q.sum(axis=1)))
+
+    errs = [float(e) for e in check()]
+    assert errs[0] < 3e-4 and errs[1] < 3e-4 and errs[2] < 3e-4, errs
+    assert errs[3] < 2e-2 and errs[4] < 2e-2 and errs[5] < 2e-2, errs
+
+
+@skip_no_tpu
+def test_merged_and_acc_modes_on_hardware():
+    """n=22-style tiny top group via merged-axis kernel + conj/acc seed mode.
+    All full-state data lives on device; only scalars are fetched."""
+    from dqc_tpu.ops import groups as gr
+    from dqc_tpu.ops import planes as pln
+
+    n = 22
+    rng = np.random.default_rng(6)
+    cpx = jax.lax.complex  # x64-proof: 1j* promotes to C128 (no TPU support)
+    shape = (1 << (n - 14), 128, 128)
+    E = np.linalg.qr(rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2)))[0]
+    E = E.astype(np.complex64)
+    Mh = rand_op(rng)
+
+    @jax.jit
+    def check():
+        xr, xi = _dev_planes(6, shape)
+        ar0, ai0 = _dev_planes(8, shape)
+        psi = cpx(xr, xi).reshape(-1)
+        t = gr.to_grouped(psi, n)
+        Ed = cpx(jnp.asarray(E.real.copy()), jnp.asarray(E.imag.copy()))
+        want = gr.apply_group_matrix(t, Ed, 3).reshape(shape)
+        yr, yi = pln.apply_high(xr, xi, E, 3, n)
+
+        want_gram = gr.group_gram(t, 3)
+        got_gram = pln.gram_axis(xr, xi, 3, n)
+
+        # conj/acc seed mode on the lane axis: out = acc + conj(conj(M) psi)
+        #                                          = acc + M conj(psi)
+        M = cpx(jnp.asarray(Mh.real.copy()), jnp.asarray(Mh.imag.copy()))
+        tm = gr.apply_group_matrix(gr.to_grouped(jnp.conj(psi), n), M, 0)
+        want2 = cpx(ar0, ai0) + tm.reshape(shape)
+        ar, ai = pln.apply_block(xr, xi, jnp.conj(M), 0, n, alias=False,
+                                 conj=True, acc=(ar0, ai0))
+
+        def me(got, want_):
+            return jnp.max(jnp.abs(got - want_))
+
+        return (me(cpx(yr, yi), want),
+                me(got_gram, want_gram) / jnp.max(jnp.abs(want_gram)),
+                me(cpx(ar, ai), want2))
+
+    e_apply, e_gram, e_acc = (float(e) for e in check())
+    assert e_apply < 3e-3, e_apply
+    assert e_gram < 1e-4, e_gram
+    assert e_acc < 3e-3, e_acc
