@@ -61,10 +61,11 @@ def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
         if isinstance(fi, FDensity):
             return False  # layer tapes are gate-only; densities -> epilogue
         if isinstance(fi, FCross):
-            if not fi.diag and len(fi.positions) != 2:
-                return False  # k>=3 dense spanning groups: complex engine
-            # 2q dense cross: Schmidt-term accumulate applies; diagonals of
-            # any span: joint tables / broadcast multiply
+            if not fi.diag and len(
+                    {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}) > 2:
+                return False  # dense spanning >2 groups: complex engine
+            # dense over 2 groups (any k): per-group term accumulate
+            # applies; diagonals of any span: tables / broadcast multiply
     return True
 
 
@@ -473,18 +474,70 @@ def _schmidt_pruned(gate4):
     return [(As[i], Bs[i]) for i in range(4)]
 
 
-def _apply_dense_cross(xr, xi, gate4, positions, n: int, interp):
-    p2, p1 = positions
-    j2, r2 = gr.group_of_bit(n, p2)
-    j1, r1 = gr.group_of_bit(n, p1)
+def _dense_cross_expanded_terms(gate_m, positions, n: int):
+    """Exact per-group operator-product decomposition of a dense k-qubit
+    gate spanning TWO groups: ``G = sum_t EA_t (on ja) * EB_t (on jb)``,
+    full-group expanded.
+
+    k = 2: operator-Schmidt (rank <= 4, SVD-pruned for constants). k >= 3:
+    slice decomposition over the side with fewer gate bits — for each
+    ``(qa, pa)`` a-side bit pattern pair, the a-side factor is the
+    elementary ``|qa><pa|`` and the b-side factor the corresponding 2^kb
+    slice of G (4^ka terms, exact for traced gates, no SVD)."""
     sizes = gr.group_sizes_low_first(n)
+    k = len(positions)
+    if k == 2:
+        p2, p1 = positions
+        j2, r2 = gr.group_of_bit(n, p2)
+        j1, r1 = gr.group_of_bit(n, p1)
+        return [
+            (gr.expand_in_group(jnp.asarray(A), (r2,), sizes[j2]), j2,
+             gr.expand_in_group(jnp.asarray(B), (r1,), sizes[j1]), j1)
+            for A, B in _schmidt_pruned(gate_m)
+        ]
+
+    info = [gr.group_of_bit(n, p) for p in positions]
+    group_ids = []
+    for g, _ in info:
+        if g not in group_ids:
+            group_ids.append(g)
+    assert len(group_ids) == 2, positions
+    ia = [i for i, (g, _) in enumerate(info) if g == group_ids[0]]
+    ib = [i for i, (g, _) in enumerate(info) if g == group_ids[1]]
+    if len(ia) > len(ib):
+        ia, ib = ib, ia
+    ja = info[ia[0]][0]
+    jb = info[ib[0]][0]
+    ka, kb = len(ia), len(ib)
+    rels_a = tuple(info[i][1] for i in ia)
+    rels_b = tuple(info[i][1] for i in ib)
+
+    G = jnp.asarray(gate_m).reshape((2,) * (2 * k))  # q bits .. p bits
+    cG = gr.concrete_or_none(G)
+    terms = []
+    for qa in range(1 << ka):
+        for pa in range(1 << ka):
+            idx = [slice(None)] * (2 * k)
+            for t, i in enumerate(ia):
+                idx[i] = (qa >> (ka - 1 - t)) & 1
+                idx[k + i] = (pa >> (ka - 1 - t)) & 1
+            B = G[tuple(idx)].reshape(1 << kb, 1 << kb)
+            if cG is not None and np.abs(np.asarray(cG[tuple(idx)])).max() < 1e-12:
+                continue
+            A = np.zeros((1 << ka, 1 << ka), np.complex64)
+            A[qa, pa] = 1.0  # concrete: expands once, cached host-side
+            terms.append(
+                (gr.expand_in_group(A, rels_a, sizes[ja]), ja,
+                 gr.expand_in_group(B, rels_b, sizes[jb]), jb))
+    return terms
+
+
+def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp):
     acc = None
-    for A, B in _schmidt_pruned(gate4):
-        EA = gr.expand_in_group(jnp.asarray(A), (r2,), sizes[j2])
-        EB = gr.expand_in_group(jnp.asarray(B), (r1,), sizes[j1])
-        tr, ti = pl.apply_block(xr, xi, EB, j1, n, alias=False,
+    for EA, ja, EB, jb in _dense_cross_expanded_terms(gate_m, positions, n):
+        tr, ti = pl.apply_block(xr, xi, EB, jb, n, alias=False,
                                 interpret=interp)
-        acc = pl.apply_block(tr, ti, EA, j2, n, acc=acc, interpret=interp)
+        acc = pl.apply_block(tr, ti, EA, ja, n, acc=acc, interpret=interp)
     return acc
 
 
@@ -1210,7 +1263,8 @@ def plane_full_tape_eligible(ftape: FusedTape, dtype) -> bool:
             if len(groups) != 1:
                 return False
         elif isinstance(fi, FCross):
-            if not fi.diag and len(fi.positions) != 2:
+            if not fi.diag and len(
+                    {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}) > 2:
                 return False
     return True
 

@@ -217,14 +217,14 @@ def test_schedule_dual_pairs():
 
 
 def test_ineligible_tapes_fall_back():
-    # 2q dense cross-group gates ARE eligible since round 2 (Schmidt-term
-    # accumulate sweeps); a k>=3 dense gate spanning groups is not
+    # dense cross-group gates over <=2 groups ARE eligible since round 2
+    # (per-group term accumulate sweeps); dense over >2 groups is not
     c = AutoGradCircuit(16, dtype=C64)
     c.add_q2_var_gate(6, 7)
     ftape = fuse_layer(c.tape)
     assert plane_tape_eligible(ftape, C64)
     ck = AutoGradCircuit(16, dtype=C64)
-    ck.add_gate([5, 6, 7], var=True)
+    ck.add_gate([0, 7, 14], var=True)  # groups 0, 1, 2
     assert not plane_tape_eligible(fuse_layer(ck.tape), C64)
     # too few qubits
     c2 = AutoGradCircuit(10, dtype=C64)
@@ -722,3 +722,39 @@ def test_multi_group_diag_scan_parity(plane_mode):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_k3_dense_cross_tape_parity(plane_mode):
+    """A var 3-qubit DENSE gate straddling two groups (qubits 5,6,7 and
+    6,7,8 at n=15) through the plane-tape path: slice-decomposition
+    accumulate sweeps must match the complex engine (values + grads)."""
+    n = 15
+
+    def run(force_plane):
+        config.set_plane_engine(True if force_plane else False)
+        c = AutoGradCircuit(n, dtype=C64)
+        c.add_gate([5, 6, 7], var=True)    # 2 bits in lane, 1 in sublane
+        c.add_gate([6, 7, 8], var=True)    # 1 bit in lane, 2 in sublane
+        c.get_q1_dens_op_with_grad(6)
+        c.get_q1_dens_op_with_grad(8)
+        _, adiff = c.build()
+
+        r = np.random.default_rng(23)
+        def ru8():
+            m = np.linalg.qr(r.normal(size=(8, 8))
+                             + 1j * r.normal(size=(8, 8)))[0]
+            return jnp.asarray(m.astype(np.complex64).reshape(-1))
+        gates = [ru8(), ru8()]
+
+        def loss(gs):
+            dens = adiff(gs, [])
+            return sum(jnp.sum(jnp.abs(dm) ** 2) for dm in dens).real
+
+        return jax.value_and_grad(loss)(gates)
+
+    v_pl, g_pl = run(True)
+    v_ref, g_ref = run(False)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=5e-5)
