@@ -163,12 +163,79 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
         if isinstance(fi, FDensity):
             items.append(("dens", i))
         elif isinstance(fi, FCross):
-            items.append(("dcross", i))  # dense 2q spanning two groups
+            items.append(("dcross", i))  # dense cross spanning two groups
         else:
             items.append(("dense", i, j))
     if run:
         items.extend(_split_diag_run(run))
-    return tuple(items)
+    return _pair_top_groups(tuple(items), ftape)
+
+
+def _item_touched(item, ftape: FusedTape) -> set:
+    """Groups an execution-plan item reads or writes."""
+    n = ftape.n
+    if item[0] == "diag":
+        out = set()
+        for i in item[1]:
+            out |= _touched_groups(ftape.instructions[i], n)
+        return out
+    if item[0] == "dense" and item[2] is not None:
+        return (_touched_groups(ftape.instructions[item[1]], n)
+                | _touched_groups(ftape.instructions[item[2]], n))
+    return _touched_groups(ftape.instructions[item[1]], n)
+
+
+def _pair_top_groups(items: Tuple[Tuple, ...], ftape: FusedTape):
+    """Compose a dense block on a TINY top group with a dense block on the
+    group below it into ONE merged-axis sweep ``kron(E_top, E_low)``
+    (legal whenever nothing between them touches either group — dense
+    blocks on distinct groups commute). At 29 qubits (groups 7,7,7,7,1)
+    this turns the per-layer [dual, g2, g3, g4] four dense sweeps into
+    three; the adjoint recovers both blocks' pair-grams from the merged
+    256^2 gram by tiny contractions (see _backward_hpair)."""
+    n = ftape.n
+    dims = gr.group_dims(n)
+    G = len(dims)
+    jtop, jlow = G - 1, G - 2
+    if jlow < 2 or dims[0] >= pl.MIN_KERNEL_X:
+        return items
+
+    def dense_group(item):
+        if item[0] != "dense" or item[2] is not None:
+            return None
+        fi = ftape.instructions[item[1]]
+        return fi.group if (isinstance(fi, FBlock) and not fi.all_diag) else None
+
+    # The merged op sits at the EARLIER block's position — the LATER block
+    # hoists backwards past the in-between items, which is exact iff none
+    # of them touches the LATER block's group (the earlier block does not
+    # move; reordering commuting ops leaves the function — and hence every
+    # gradient — identical).
+    out: List[Tuple] = []
+    pending: Dict[int, Tuple[int, int]] = {}  # group -> (out idx, instr idx)
+    last_touch = {jtop: -1, jlow: -1}
+    for item in items:
+        g = dense_group(item)
+        if g in (jtop, jlow):
+            other = jlow if g == jtop else jtop
+            if other in pending and last_touch[g] < pending[other][0]:
+                oi, ii = pending.pop(other)
+                low_i, top_i = (ii, item[1]) if other == jlow else (item[1], ii)
+                out[oi] = ("hpair", low_i, top_i)
+                pending.pop(g, None)
+                last_touch[g] = oi
+                last_touch[other] = oi
+                continue
+            pending[g] = (len(out), item[1])
+            last_touch[g] = len(out)
+            out.append(item)
+            continue
+        touched = _item_touched(item, ftape)
+        for gg in (jtop, jlow):
+            if gg in touched:
+                last_touch[gg] = len(out)
+        out.append(item)
+    return tuple(out)
 
 
 def _split_diag_run(run) -> List[Tuple]:
@@ -415,6 +482,8 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
             fwd += 1.0
             bwd += 3.0  # uncompute + subblock gram + transport
         else:
+            # 'dense' (single/dual) and 'hpair' merged sweeps: 1 aliased
+            # pass forward, 2 (fwd+bwd planes) backward
             fwd += 1.0
             bwd += 2.0
     return fwd, bwd
@@ -561,6 +630,18 @@ def _cross_dense_gate(fi: FCross, var_gates, const_gates):
     return _cross_gate(fi, var_gates, const_gates).reshape(kk, kk)
 
 
+def _hpair_ops(item, ftape, var_gates, const_gates, *, inverse=False):
+    """(E_low, E_top) block operators of an hpair item."""
+    sizes = gr.group_sizes_low_first(ftape.n)
+    fi_low = ftape.instructions[item[1]]
+    fi_top = ftape.instructions[item[2]]
+    El = _block_operator(fi_low, var_gates, const_gates, sizes[fi_low.group],
+                         inverse=inverse, reverse=inverse)
+    Et = _block_operator(fi_top, var_gates, const_gates, sizes[fi_top.group],
+                         inverse=inverse, reverse=inverse)
+    return El, Et
+
+
 def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
     """Gate-only forward over a plane program (no density items)."""
     for item in program:
@@ -576,6 +657,10 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
                 fi.positions, ftape.n, _interpret())
+        elif item[0] == "hpair":
+            El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
+            xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El),
+                                         ftape.n, interpret=_interpret())
         else:
             assert item[0] == "dense", item
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
@@ -596,6 +681,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
             fxr, fxi, bxr, bxi = _backward_multi_diag(
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
                 var_gates, const_gates, var_cts)
+        elif item[0] == "hpair":
+            fxr, fxi, bxr, bxi = _backward_hpair(
+                fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
+                var_cts)
         elif item[0] == "dcross":
             fxr, fxi, bxr, bxi = _backward_dense_cross(
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
@@ -609,6 +698,50 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]],
                 ftape.instructions[item[2]], ftape, var_gates, const_gates,
                 var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
+                    var_cts: Dict[int, jax.Array]):
+    """Adjoint of a merged (top, top-1) dense sweep in ONE kernel pass.
+
+    With forward order [low, top] (they commute), the sequential per-block
+    pair-grams are exact restrictions of the merged gram
+    ``T0m[(x4 d3), (y4 d3')] = sum_b bwd[..] fwd_in[..]``:
+
+        T0_top[x, y] = sum_{d3 d3'} E_low[d3, d3'] T0m[(x d3), (y d3')]
+        T0_low[x, y] = sum_{e d4}   E_top[e, d4]   T0m[(e x), (d4 y)]
+
+    (gram of the top block sees fwd with only 'top' uncomputed = E_low
+    applied to fwd_in; gram of the low block sees bwd after the top
+    transport = E_top^T bwd — both contract into tiny matrix algebra.)"""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    fi_low = ftape.instructions[item[1]]
+    fi_top = ftape.instructions[item[2]]
+    El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
+    Eli, Eti = _hpair_ops(item, ftape, var_gates, const_gates, inverse=True)
+    fxr, fxi, bxr, bxi, T0m = pl.backward_merged_top(
+        fxr, fxi, bxr, bxi, pl.kron_ops(Eti, Eli), pl.kron_ops(Et, El), n,
+        interpret=_interpret())
+    if fi_low.has_var or fi_top.has_var:
+        X = 1 << sizes[fi_top.group]
+        Xl = 1 << sizes[fi_low.group]
+        T4 = T0m.reshape(X, Xl, X, Xl)
+        if fi_top.has_var:
+            T0_top = jnp.einsum("ab,xayb->xy", jnp.asarray(El).astype(C64),
+                                T4.astype(C64))
+            ops = _block_ops(fi_top, var_gates, const_gates,
+                             sizes[fi_top.group], C64)
+            dense_block_var_cts(fi_top, ops, T0_top, var_gates, const_gates,
+                                sizes[fi_top.group], C64, var_cts)
+        if fi_low.has_var:
+            T0_low = jnp.einsum("ed,exdy->xy", jnp.asarray(Et).astype(C64),
+                                T4.astype(C64))
+            ops = _block_ops(fi_low, var_gates, const_gates,
+                             sizes[fi_low.group], C64)
+            dense_block_var_cts(fi_low, ops, T0_low, var_gates, const_gates,
+                                sizes[fi_low.group], C64, var_cts)
     return fxr, fxi, bxr, bxi
 
 
@@ -1293,6 +1426,12 @@ def _trim_program(program, stop_after: Optional[int]):
         elif item[0] in ("dens", "dcross", "mdiag"):
             if item[1] <= stop_after:
                 out.append(item)
+        elif item[0] == "hpair":
+            keep = [x for x in (item[1], item[2]) if x <= stop_after]
+            if len(keep) == 2:
+                out.append(item)
+            elif keep:
+                out.append(("dense", keep[0], None))
         else:
             i, j = item[1], item[2]
             if i > stop_after:
@@ -1337,6 +1476,10 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
                 fi.positions, n, _interpret())
+        elif item[0] == "hpair":
+            El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
+            xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El), n,
+                                         interpret=_interpret())
         else:
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
                                        var_gates, const_gates)
@@ -1444,7 +1587,9 @@ def _pt_bwd(ftape, residuals, density_cts):
                 fxr, fxi = _uncompute_only(
                     fxr, fxi, ftape.instructions[item[1]], ftape, var_gates,
                     const_gates)
-                if item[2] is not None:
+                # dense pairs and hpairs carry a second instruction;
+                # len-2 items (mdiag/dcross) do not
+                if len(item) > 2 and item[2] is not None:
                     fxr, fxi = _uncompute_only(
                         fxr, fxi, ftape.instructions[item[2]], ftape,
                         var_gates, const_gates)

@@ -159,6 +159,52 @@ def _kron_id(E, Xl: int):
     return jnp.kron(E, jnp.eye(Xl, dtype=E.dtype))
 
 
+def kron_ops(Ea, Eb):
+    """``Ea (x) Eb`` (Ea on the higher/major axis) — host numpy when both
+    operators are concrete (dedup/cache), traced jnp.kron otherwise."""
+    ca, cb = gr.concrete_or_none(Ea), gr.concrete_or_none(Eb)
+    if ca is not None and cb is not None:
+        key = ("K2", ca.tobytes(), cb.tobytes(), ca.dtype.str,
+               ca.shape, cb.shape)
+        return gr._cached(key, lambda: np.kron(np.asarray(ca), np.asarray(cb)))
+    return jnp.kron(jnp.asarray(Ea), jnp.asarray(Eb))
+
+
+def apply_merged_top(xr, xi, E_m, n: int, *, interpret: bool = False):
+    """Apply a dense operator on the MERGED (top, top-1) group axis
+    (``E_m``: (X*Xl, X*Xl), e.g. kron(E_top, E_low)) in one kernel pass —
+    one sweep where the per-group path would take two."""
+    dims = gr.group_dims(n)
+    jtop = len(dims) - 1
+    pre, X, Xl, M = _merged_view(n, jtop)
+    er, ei = op_planes(E_m)
+    vxr = xr.reshape(pre, X * Xl, M, 128)
+    vxi = xi.reshape(pre, X * Xl, M, 128)
+    yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
+                                     dot_mode=config.kernel_dot_mode(),
+                                     interpret=interpret)
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def backward_merged_top(fxr, fxi, bxr, bxi, Einv_m, E_m, n: int,
+                        *, interpret: bool = False):
+    """block_backward on the merged (top, top-1) axis; returns the planes
+    plus the MERGED (X*Xl)^2 pair-gram (complex) for per-block extraction."""
+    dims = gr.group_dims(n)
+    jtop = len(dims) - 1
+    pre, X, Xl, M = _merged_view(n, jtop)
+    shape4 = (pre, X * Xl, M, 128)
+    einv_r, einv_i = op_planes(Einv_m)
+    e_r, e_i = op_planes(E_m)
+    fr, fi, br, bi, t0r, t0i = block_backward_high(
+        fxr.reshape(shape4), fxi.reshape(shape4),
+        bxr.reshape(shape4), bxi.reshape(shape4),
+        einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+        interpret=interpret)
+    return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+            br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
+
+
 def _trace_id(Gm: jax.Array, X: int, Xl: int) -> jax.Array:
     """Partial trace over the identity factor of a merged-axis (X*Xl, X*Xl)
     Gram/pair-gram: ``G[x, y] = sum_d Gm[(x,d), (y,d)]``."""

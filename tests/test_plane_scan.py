@@ -758,3 +758,48 @@ def test_k3_dense_cross_tape_parity(plane_mode):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=5e-5)
+
+
+def test_hpair_merged_top_sweep_parity(plane_mode):
+    """n=22 (groups 7,7,7,1): the dense blocks on group 2 and the tiny top
+    group 3 must execute as ONE merged 256-axis sweep ('hpair'), with both
+    blocks' gradients recovered from the merged pair-gram."""
+    from dqc_tpu.circuit.plane_scan import plane_program
+
+    n = 22
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    for i in range(n - 1):
+        c.add_q2_var_gate_diag(i, i + 1)
+    ftape = fuse_layer(c.tape)
+    program = plane_program(ftape)
+    kinds = [it[0] for it in program]
+    assert "hpair" in kinds, program  # g2+g3 merged
+    assert kinds.count("dense") == 1  # only the minor dual remains
+
+    rng = np.random.default_rng(29)
+    L = 1
+    stacked = tuple(
+        jnp.asarray(np.stack([rand_su2(rng) for _ in range(L)]))
+        for _ in range(n)
+    ) + tuple(
+        jnp.asarray(np.stack(
+            [np.exp(1j * rng.normal() * np.array([1, -1, -1, 1])).astype(np.complex64)
+             for _ in range(L)]))
+        for _ in range(n - 1)
+    )
+    init = rand_state(n, seed=4)
+
+    def loss_with(layers_fn):
+        def loss(sg):
+            state = layers_fn(ftape, init, sg, ())
+            return jnp.sum(jnp.abs(state.reshape(-1)[: 1 << 10]) ** 2).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(loss_with(_scanned_layers_xla))(stacked)
+    v_pl, g_pl = jax.value_and_grad(loss_with(plane_scanned_layers))(stacked)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
