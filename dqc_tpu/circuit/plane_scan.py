@@ -995,6 +995,23 @@ def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
     return pl.gram_axis(xr, xi, j, n, interpret=_interpret())
 
 
+def _gram_for(grams: Dict[int, jax.Array], xr, xi, j: int, n: int):
+    """Per-group Gram with caching; when the top group is tiny, ONE merged
+    kernel read serves BOTH the top and the next group (partial traces)."""
+    G = grams.get(j)
+    if G is not None:
+        return G
+    njg = len(gr.group_dims(n))
+    if pl.merged_top_tiny(n) and j in (njg - 1, njg - 2):
+        G_low, G_top = pl.gram_merged_top(xr, xi, n, interpret=_interpret())
+        grams[njg - 2] = G_low
+        grams[njg - 1] = G_top
+        return grams[j]
+    G = _plane_gram(xr, xi, j, n)
+    grams[j] = G
+    return G
+
+
 def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
                 bxr=None, bxi=None):
     """Accumulate the density seeds ``sum_j M_j conj(psi)`` into (bxr, bxi),
@@ -1005,6 +1022,25 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
     tools/mem29.py)."""
     if not pending:
         return bxr, bxi
+    pending = dict(pending)
+    njg = len(gr.group_dims(n))
+    if pl.merged_top_tiny(n) and (njg - 1 in pending or njg - 2 in pending):
+        # seeds are SUMS of per-group operators, so the top two groups'
+        # seeds combine into ONE merged-axis operator and one pass
+        dims = gr.group_dims(n)
+        X, Xl = dims[0], dims[1]
+        M_top = pending.pop(njg - 1, None)
+        M_low = pending.pop(njg - 2, None)
+        Mm = None
+        if M_top is not None:
+            Mm = jnp.kron(jnp.asarray(M_top), jnp.eye(Xl, dtype=C64))
+        if M_low is not None:
+            t = jnp.kron(jnp.eye(X, dtype=C64), jnp.asarray(M_low))
+            Mm = t if Mm is None else Mm + t
+        acc = None if bxr is None else (bxr, bxi)
+        bxr, bxi = pl.apply_merged_top(fxr, fxi, jnp.conj(Mm), n,
+                                       alias=False, conj=True, acc=acc,
+                                       interpret=interp)
     for jg, M in pending.items():
         acc = None if bxr is None else (bxr, bxi)
         bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), jg, n, alias=False,
@@ -1030,10 +1066,7 @@ def _epilogue_fwd_impl(epi_ftape, state):
         if not fi.diff:
             continue
         j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = grams.get(j)
-        if G is None:
-            G = _plane_gram(xr, xi, j, n)
-            grams[j] = G
+        G = _gram_for(grams, xr, xi, j, n)
         rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
         densities.append(gr.density_from_gram(G, rels, sizes[j]))
     return tuple(densities), (xr, xi)
@@ -1119,10 +1152,7 @@ def _scan_densities_impl(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
         if not fi.diff:
             continue
         j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = grams.get(j)
-        if G is None:
-            G = _plane_gram(xr, xi, j, n)
-            grams[j] = G
+        G = _gram_for(grams, xr, xi, j, n)
         rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
         densities.append(gr.density_from_gram(G, rels, sizes[j]))
     return tuple(densities), (xr, xi)
@@ -1280,10 +1310,7 @@ def _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
         if not fi.diff:
             continue
         j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = grams.get(j)
-        if G is None:
-            G = _plane_gram(xr, xi, j, n)
-            grams[j] = G
+        G = _gram_for(grams, xr, xi, j, n)
         rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
         densities.append(gr.density_from_gram(G, rels, sizes[j]))
     return tuple(densities), (xr, xi)
@@ -1455,10 +1482,7 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             fi = ftape.instructions[item[1]]
             if fi.diff:
                 jg = gr.group_of_bit(n, fi.positions[0])[0]
-                G = gram_cache.get(jg)
-                if G is None:
-                    G = _plane_gram(xr, xi, jg, n)
-                    gram_cache[jg] = G
+                G = _gram_for(gram_cache, xr, xi, jg, n)
                 rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
                 densities.append(gr.density_from_gram(G, rels, sizes[jg]))
             continue

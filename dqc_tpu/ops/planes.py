@@ -170,10 +170,19 @@ def kron_ops(Ea, Eb):
     return jnp.kron(jnp.asarray(Ea), jnp.asarray(Eb))
 
 
-def apply_merged_top(xr, xi, E_m, n: int, *, interpret: bool = False):
+def merged_top_tiny(n: int) -> bool:
+    """True when the top group is tiny enough that (top, top-1) ops merge
+    onto one kernel axis (the hpair/merged-seed/merged-gram criterion)."""
+    dims = gr.group_dims(n)
+    return len(dims) >= 4 and dims[0] < MIN_KERNEL_X
+
+
+def apply_merged_top(xr, xi, E_m, n: int, *, alias: bool = True,
+                     conj: bool = False, acc=None, interpret: bool = False):
     """Apply a dense operator on the MERGED (top, top-1) group axis
     (``E_m``: (X*Xl, X*Xl), e.g. kron(E_top, E_low)) in one kernel pass —
-    one sweep where the per-group path would take two."""
+    one sweep where the per-group path would take two. ``conj``/``acc``:
+    seed mode (see dual_group_apply_planes)."""
     dims = gr.group_dims(n)
     jtop = len(dims) - 1
     pre, X, Xl, M = _merged_view(n, jtop)
@@ -182,8 +191,24 @@ def apply_merged_top(xr, xi, E_m, n: int, *, interpret: bool = False):
     vxi = xi.reshape(pre, X * Xl, M, 128)
     yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
                                      dot_mode=config.kernel_dot_mode(),
+                                     alias=alias, conj=conj, acc=acc,
                                      interpret=interpret)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def gram_merged_top(xr, xi, n: int, *, interpret: bool = False):
+    """(G_low, G_top): BOTH top group Grams from ONE merged-axis kernel read
+    — partial traces of the (X*Xl)^2 merged Gram over the other factor."""
+    dims = gr.group_dims(n)
+    jtop = len(dims) - 1
+    pre, X, Xl, M = _merged_view(n, jtop)
+    S, C = gram_high(xr.reshape(pre, X * Xl, M, 128),
+                     xi.reshape(pre, X * Xl, M, 128),
+                     dot_mode=config.kernel_dot_mode(), interpret=interpret)
+    Gm = (S + 1j * (C.T - C)).reshape(X, Xl, X, Xl)
+    G_top = jnp.einsum("xdyd->xy", Gm)
+    G_low = jnp.einsum("dxdy->xy", Gm)
+    return G_low, G_top
 
 
 def backward_merged_top(fxr, fxi, bxr, bxi, Einv_m, E_m, n: int,

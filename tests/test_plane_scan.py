@@ -803,3 +803,23 @@ def test_hpair_merged_top_sweep_parity(plane_mode):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_merged_seed_and_gram_epilogue_parity(plane_mode):
+    """Full model value+grad at 22q (tiny top group): the epilogue computes
+    both top-group Grams from ONE merged read and the density seeds for the
+    top two groups apply as ONE merged-axis pass — parity vs the complex
+    engine."""
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    m = HardwareEfficientAnsatz(22, 1, entangler="cz", dtype=C64, scan=True)
+    params = m.init_params(jax.random.PRNGKey(11))
+
+    v_pl, g_pl = jax.value_and_grad(m.magnetization)(params)
+    config.set_plane_engine(False)
+    v_ref, g_ref = jax.value_and_grad(m.magnetization)(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
