@@ -101,15 +101,13 @@ def kernel_dot_mode() -> str:
     return _KERNEL_DOT_MODE
 
 
-# Scan full-unroll threshold. A lax.scan's (fwd, bwd) reverse-pass carry is
-# double-buffered by XLA across while-loop iterations — at 29 qubits that is
-# 2 x 8 GB of f32 planes and the step no longer fits 15.75 GB HBM (the
-# measured "Exceeded hbm capacity by 12.27G" profile, BENCHMARKS.md). With
-# ``unroll == num_layers`` jax emits straight-line HLO (no while op), so the
-# in-place Pallas kernels chain through ONE live (fwd, bwd) buffer set.
-# Circuits with >= this many qubits fully unroll their layer scans; program
-# size grows O(layers), so it only applies where HBM demands it.
-_FULL_UNROLL_QUBITS = int(_os.environ.get("DQC_FULL_UNROLL_QUBITS", "29"))
+# Scan full-unroll threshold (effectively OFF by default). Full unroll was
+# the round-2 workaround for the 29q lax.scan carry double-buffering OOM;
+# after the memory diet (plane_std_scan_densities + merged-axis kernels +
+# in-kernel seeds, BENCHMARKS.md) the scan fits, runs at the same speed
+# (measured 29q x 8L: 3.599 s/step scan vs 3.587 unrolled), and compiles
+# 3-5x faster — so the knob remains only for experiments.
+_FULL_UNROLL_QUBITS = int(_os.environ.get("DQC_FULL_UNROLL_QUBITS", "99"))
 
 
 def set_full_unroll_qubits(n: int) -> None:
