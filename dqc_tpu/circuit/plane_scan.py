@@ -370,11 +370,13 @@ def _run_has_var(run, ftape: FusedTape) -> bool:
 
 
 def _reduce_a_rows(Qx, j: int, n: int):
-    """(A, 128) pair reduction -> (dim_j, 128) by summing the other high
-    axes."""
-    a_dims = gr.group_dims(n)[:-2]
-    ax = len(gr.group_dims(n)) - 1 - j
-    v = Qx.reshape(tuple(a_dims) + (128,))
+    """Merged-high-axis reduction keeping group ``j``: (A, ...) ->
+    (dim_j, ...) by summing every other high axis (trailing dims kept)."""
+    dims = gr.group_dims(n)
+    a_dims = dims[:-2]
+    ax = len(dims) - 1 - j
+    tail = Qx.shape[1:]
+    v = Qx.reshape(tuple(a_dims) + tail)
     axes = tuple(k for k in range(len(a_dims)) if k != ax)
     return jnp.sum(v, axis=axes) if axes else v
 
@@ -421,7 +423,7 @@ def _diag_run_backward(fxr, fxi, bxr, bxi, run, ftape: FusedTape,
                 W = jnp.sum(Qsl, axis=1) * inv_tab
             else:
                 Wa = jnp.sum(Qas, axis=1)
-                W = _reduce_a_vec(Wa, fi.group, n) * inv_tab
+                W = _reduce_a_rows(Wa, fi.group, n) * inv_tab
             tables = _block_ops(fi, var_gates, const_gates, g, C64)
             diag_block_var_cts(fi, tables, W.astype(C64), var_gates,
                                const_gates, g, C64, var_cts)
@@ -448,36 +450,34 @@ def _diag_run_backward(fxr, fxi, bxr, bxi, run, ftape: FusedTape,
     return fxr, fxi, bxr, bxi
 
 
-def _reduce_a_vec(Wa, j: int, n: int):
-    """(A,) -> (dim_j,) by summing the other high axes."""
-    dims = gr.group_dims(n)
-    a_dims = dims[:-2]
-    ax = len(dims) - 1 - j
-    v = Wa.reshape(a_dims)
-    axes = tuple(k for k in range(len(a_dims)) if k != ax)
-    return jnp.sum(v, axis=axes) if axes else v
-
-
 def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
     """(forward, backward) full-state HBM passes per layer under the plane
     engine — one pass = read+write of the full state's bytes. Used by
     bench.py to report *achieved* bandwidth (as opposed to the per-gate-sweep
     architecture-equivalent number).
 
-    Exact for the kernel engine: every program item — dual/high dense sweep
-    or fused diagonal run — is 1 aliased pass forward; its adjoint reads and
-    writes BOTH the fwd and bwd planes in one kernel = 2 passes.
+    Exact for dense/diag kernel items: every dual/high/hpair sweep or fused
+    diagonal run is 1 aliased pass forward; its adjoint reads and writes
+    BOTH the fwd and bwd planes in one kernel = 2 passes. Dense cross-group
+    items are an upper bound — 2 passes per decomposition term, where the
+    term count uses the positions-derived 4^ka bound (concrete gates prune
+    zero-weight terms at execution, e.g. 2 terms for CNOT).
     """
     program = plane_program(ftape)
+    n = ftape.n
     fwd = bwd = 0.0
     for item in program:
         if item[0] == "dens":
             continue
         if item[0] == "dcross":
-            # ~2 passes per Schmidt term (apply + accumulate), term count
-            # gate-dependent; 4 is the generic rank bound
-            fwd += 8.0
-            bwd += 16.0
+            fi = ftape.instructions[item[1]]
+            by_group: Dict[int, int] = {}
+            for p in fi.positions:
+                g = gr.group_of_bit(n, p)[0]
+                by_group[g] = by_group.get(g, 0) + 1
+            terms = 4 ** min(by_group.values())
+            fwd += 2.0 * terms
+            bwd += 4.0 * terms + 1.0  # uncompute + transport + pair-grad
         elif item[0] == "mdiag":
             fwd += 1.0
             bwd += 3.0  # uncompute + subblock gram + transport
@@ -995,6 +995,44 @@ def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
     return pl.gram_axis(xr, xi, j, n, interpret=_interpret())
 
 
+def _collect_seed_pending(epi_ftape: FusedTape, density_cts, n: int,
+                          pending: Optional[Dict[int, jax.Array]] = None):
+    """Per-group summed seed operators ``(L + L^H)`` from the diff-density
+    cotangents of a density-only tape (fused_autograd._bwd flush_seeds)."""
+    sizes = gr.group_sizes_low_first(n)
+    if pending is None:
+        pending = {}
+    it = iter(density_cts)
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        ct = next(it)
+        d = 1 << len(fi.positions)
+        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+        sym = ct_m + ct_m.conj().T
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        E = gr.expand_in_group(sym, rels, sizes[j])
+        pending[j] = E if j not in pending else pending[j] + E
+    return pending
+
+
+def _epilogue_density_list(epi_ftape: FusedTape, xr, xi, n: int):
+    """Diff-density matrices of a density-only tape from cached per-group
+    Grams (one kernel read per group; merged read for tiny top groups)."""
+    sizes = gr.group_sizes_low_first(n)
+    grams: Dict[int, jax.Array] = {}
+    densities = []
+    for fi in epi_ftape.instructions:
+        if not fi.diff:
+            continue
+        j = gr.group_of_bit(n, fi.positions[0])[0]
+        G = _gram_for(grams, xr, xi, j, n)
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        densities.append(gr.density_from_gram(G, rels, sizes[j]))
+    return tuple(densities)
+
+
 def _gram_for(grams: Dict[int, jax.Array], xr, xi, j: int, n: int):
     """Per-group Gram with caching; when the top group is tiny, ONE merged
     kernel read serves BOTH the top and the next group (partial traces)."""
@@ -1060,16 +1098,7 @@ def _epilogue_fwd_impl(epi_ftape, state):
     n = epi_ftape.n
     sizes = gr.group_sizes_low_first(n)
     xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
-    grams: Dict[int, jax.Array] = {}
-    densities = []
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = _gram_for(grams, xr, xi, j, n)
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        densities.append(gr.density_from_gram(G, rels, sizes[j]))
-    return tuple(densities), (xr, xi)
+    return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
 
 def _epi_fwd(epi_ftape, state):
@@ -1087,19 +1116,7 @@ def _epi_bwd(epi_ftape, residuals, density_cts):
 
     # sum the (L + L^H) seed operators per group (cf. fused_autograd._bwd
     # flush_seeds), then ONE plane apply per group on conj(psi)
-    pending: Dict[int, jax.Array] = {}
-    it = iter(density_cts)
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        ct = next(it)
-        d = 1 << len(fi.positions)
-        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
-        sym = ct_m + ct_m.conj().T
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        E = gr.expand_in_group(sym, rels, sizes[j])
-        pending[j] = E if j not in pending else pending[j] + E
+    pending = _collect_seed_pending(epi_ftape, density_cts, n)
 
     bxr, bxi = _seed_apply(xr, xi, pending, n, interp)
     if bxr is None:
@@ -1146,16 +1163,7 @@ def _scan_densities_impl(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
                                unroll=_scan_unroll(n, stacked_var_gates))
 
-    grams: Dict[int, jax.Array] = {}
-    densities = []
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = _gram_for(grams, xr, xi, j, n)
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        densities.append(gr.density_from_gram(G, rels, sizes[j]))
-    return tuple(densities), (xr, xi)
+    return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -1184,19 +1192,7 @@ def _psd_bwd(ftape, epi_ftape, residuals, density_cts):
 
     # density cotangents -> summed (L + L^H) seed operator per group, ONE
     # plane apply per group on conj(psi_final) (cf. _epi_bwd)
-    pending: Dict[int, jax.Array] = {}
-    it = iter(density_cts)
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        ct = next(it)
-        d = 1 << len(fi.positions)
-        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
-        sym = ct_m + ct_m.conj().T
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        E = gr.expand_in_group(sym, rels, sizes[j])
-        pending[j] = E if j not in pending else pending[j] + E
+    pending = _collect_seed_pending(epi_ftape, density_cts, n)
 
     bxr, bxi = _seed_apply(fxr, fxi, pending, n, interp)
     state_dtype = dtype_token.dtype
@@ -1304,16 +1300,7 @@ def _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
                                unroll=_scan_unroll(n, stacked_var_gates))
 
-    grams: Dict[int, jax.Array] = {}
-    densities = []
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = _gram_for(grams, xr, xi, j, n)
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        densities.append(gr.density_from_gram(G, rels, sizes[j]))
-    return tuple(densities), (xr, xi)
+    return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
 
 def _std_fwd(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
@@ -1330,19 +1317,7 @@ def _std_bwd(pro_ftape, ftape, epi_ftape, residuals, density_cts):
     sizes = gr.group_sizes_low_first(n)
     interp = _interpret()
 
-    pending: Dict[int, jax.Array] = {}
-    it = iter(density_cts)
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        ct = next(it)
-        d = 1 << len(fi.positions)
-        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
-        sym = ct_m + ct_m.conj().T
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        E = gr.expand_in_group(sym, rels, sizes[j])
-        pending[j] = E if j not in pending else pending[j] + E
+    pending = _collect_seed_pending(epi_ftape, density_cts, n)
 
     pro_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in pro_const_gates)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)

@@ -51,7 +51,7 @@ def _cmul(xr, xi, yr, yi):
     return xr * yr - xi * yi, xr * yi + xi * yr
 
 
-def _total_diag(a_blk, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
+def _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     """In-kernel composed multiplier m[a, s, l] for one (a_blk, 128, 128)
     tile; the pair tables arrive as (a_blk, 128) / (128, 128) VMEM blocks."""
     # m = Tas[a,s] * Tal[a,l] * Tsl[s,l]
@@ -62,10 +62,10 @@ def _total_diag(a_blk, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     return _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
 
 
-def _kernel_sweep(a_blk, xr_ref, xi_ref,
+def _kernel_sweep(xr_ref, xi_ref,
                   tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
                   yr_ref, yi_ref):
-    mr, mi = _total_diag(a_blk, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+    mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
     yr, yi = _cmul(xr_ref[:], xi_ref[:], mr, mi)
     yr_ref[:] = yr
     yi_ref[:] = yi
@@ -83,7 +83,7 @@ def diag_sweep_planes(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
     A = xr.shape[0]
     if A % a_blk:
         a_blk = A  # small A (n < 17): whole leading axis per cell (tile-legal)
-    kern = functools.partial(_kernel_sweep, a_blk)
+    kern = _kernel_sweep
     big = pl.BlockSpec((a_blk, 128, 128), cm.blk3, memory_space=pltpu.VMEM)
     tab_sl = pl.BlockSpec((128, 128), cm.fixed2, memory_space=pltpu.VMEM)
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
@@ -102,7 +102,7 @@ def diag_sweep_planes(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
     )(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
 
 
-def _kernel_bwd(a_blk, with_q,
+def _kernel_bwd(with_q,
                 fr_ref, fi_ref, br_ref, bi_ref,
                 isl_r, isl_i, ias_r, ias_i, ial_r, ial_i,   # D_inv tables
                 tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,   # D tables
@@ -139,12 +139,12 @@ def _kernel_bwd(a_blk, with_q,
         qal_r_ref[:] = qal_r
         qal_i_ref[:] = qal_i
 
-    mr, mi = _total_diag(a_blk, isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
+    mr, mi = _total_diag(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
     fnr, fni = _cmul(fr, fi, mr, mi)
     fnr_ref[:] = fnr
     fni_ref[:] = fni
 
-    mr, mi = _total_diag(a_blk, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+    mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
     bnr, bni = _cmul(br, bi, mr, mi)
     bnr_ref[:] = bnr
     bni_ref[:] = bni
@@ -167,7 +167,7 @@ def diag_backward_planes(fr, fi, br, bi,
     A = fr.shape[0]
     if A % a_blk:
         a_blk = A  # small A (n < 17): whole leading axis per cell (tile-legal)
-    kern = functools.partial(_kernel_bwd, a_blk, with_q)
+    kern = functools.partial(_kernel_bwd, with_q)
     big = pl.BlockSpec((a_blk, 128, 128), cm.blk3, memory_space=pltpu.VMEM)
     tab_sl = pl.BlockSpec((128, 128), cm.fixed2, memory_space=pltpu.VMEM)
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)

@@ -164,7 +164,7 @@ def kron_ops(Ea, Eb):
     operators are concrete (dedup/cache), traced jnp.kron otherwise."""
     ca, cb = gr.concrete_or_none(Ea), gr.concrete_or_none(Eb)
     if ca is not None and cb is not None:
-        key = ("K2", ca.tobytes(), cb.tobytes(), ca.dtype.str,
+        key = ("K2", ca.tobytes(), cb.tobytes(), ca.dtype.str, cb.dtype.str,
                ca.shape, cb.shape)
         return gr._cached(key, lambda: np.kron(np.asarray(ca), np.asarray(cb)))
     return jnp.kron(jnp.asarray(Ea), jnp.asarray(Eb))
