@@ -19,10 +19,12 @@ The reference executes one full complex sweep per gate and three per gate in
 backward (reference circuit.rs:214-429); this path replaces its entire
 custom-CUDA layer 1 (primitives.cu:513-876) with TPU-native kernels.
 
-Eligibility (checked statically by :func:`plane_tape_eligible`): >=14 qubits
-(both minor groups full), complex64, and no *dense* cross-group gates in the
-layer (diagonal crosses — the common entangler pattern — are native;
-a dense cross falls back to the complex engine).
+Eligibility (:func:`plane_tape_eligible`): >=14 qubits (both minor groups
+full) and complex64 — since round 2 every instruction kind executes on
+planes: dense/diag blocks, diagonal crosses of any span (joint tables /
+broadcast), dense crosses over two groups (per-group term accumulates),
+dense gates over more groups (subblock gather/matmul/scatter), and density
+requests at any positions (Gram kernels / subblock contractions).
 """
 
 from __future__ import annotations
@@ -60,12 +62,9 @@ def plane_tape_eligible(ftape: FusedTape, dtype) -> bool:
     for fi in ftape.instructions:
         if isinstance(fi, FDensity):
             return False  # layer tapes are gate-only; densities -> epilogue
-        if isinstance(fi, FCross):
-            if not fi.diag and len(
-                    {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}) > 2:
-                return False  # dense spanning >2 groups: complex engine
-            # dense over 2 groups (any k): per-group term accumulate
-            # applies; diagonals of any span: tables / broadcast multiply
+        # every cross-group gate is plane-executable: dense over 2 groups
+        # as per-group term accumulates, dense over >2 groups as subblock
+        # gather/matmul/scatter, diagonals of any span as tables/broadcast
     return True
 
 
@@ -163,7 +162,11 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
         if isinstance(fi, FDensity):
             items.append(("dens", i))
         elif isinstance(fi, FCross):
-            items.append(("dcross", i))  # dense cross spanning two groups
+            groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
+            if len(groups) > 2:
+                items.append(("xcross", i))  # subblock gather/matmul/scatter
+            else:
+                items.append(("dcross", i))  # per-group term accumulate
         else:
             items.append(("dense", i, j))
     if run:
@@ -478,6 +481,9 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
             terms = 4 ** min(by_group.values())
             fwd += 2.0 * terms
             bwd += 4.0 * terms + 1.0  # uncompute + transport + pair-grad
+        elif item[0] == "xcross":
+            fwd += 3.0   # gather + matmul + scatter (permute sweeps)
+            bwd += 8.0   # uncompute + pair-grad + transport
         elif item[0] == "mdiag":
             fwd += 1.0
             bwd += 3.0  # uncompute + subblock gram + transport
@@ -601,13 +607,38 @@ def _dense_cross_expanded_terms(gate_m, positions, n: int):
     return terms
 
 
-def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp):
-    acc = None
+def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp, *,
+                       conj: bool = False, acc0=None):
+    """Per-group term accumulate sweeps; ``conj``/``acc0`` give the seed
+    form ``acc0 + conj(G x)`` (x read-only, one aliased accumulator)."""
+    acc = acc0
     for EA, ja, EB, jb in _dense_cross_expanded_terms(gate_m, positions, n):
         tr, ti = pl.apply_block(xr, xi, EB, jb, n, alias=False,
                                 interpret=interp)
-        acc = pl.apply_block(tr, ti, EA, ja, n, acc=acc, interpret=interp)
+        acc = pl.apply_block(tr, ti, EA, ja, n, acc=acc, conj=conj,
+                             interpret=interp)
     return acc
+
+
+def _apply_xcross(xr, xi, gate_m, positions, n: int):
+    """Dense k-qubit gate spanning >2 groups: gather the target bits to the
+    front (groups.subblocks, real-pair), ONE (2^k, 2^k) x (2^k, 2^(n-k))
+    complex matmul on the MXU, scatter back — the plane counterpart of
+    groups.apply_dense's generic branch (reference scope caps at k=2,
+    primitives.cu:573-620)."""
+    dims = gr.group_dims(n)
+    m = jnp.asarray(gate_m).astype(C64)
+    mr = m.real.astype(jnp.float32)
+    mi = m.imag.astype(jnp.float32)
+    Sr, restore_r = gr.subblocks_with_restore(xr.reshape(dims), positions, n)
+    Si, restore_i = gr.subblocks_with_restore(xi.reshape(dims), positions, n)
+    prec = config.matmul_precision()
+    t1 = jnp.matmul(mr + mi, Sr, precision=prec)
+    t2 = jnp.matmul(mi, Sr + Si, precision=prec)
+    t3 = jnp.matmul(mr, Si - Sr, precision=prec)
+    Yr = t1 - t2
+    Yi = t1 + t3
+    return (restore_r(Yr).reshape(xr.shape), restore_i(Yi).reshape(xi.shape))
 
 
 def _plane_pair_grad(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
@@ -657,6 +688,11 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
                 fi.positions, ftape.n, _interpret())
+        elif item[0] == "xcross":
+            fi = ftape.instructions[item[1]]
+            xr, xi = _apply_xcross(
+                xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
+                fi.positions, ftape.n)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
             xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El),
@@ -687,6 +723,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
                 var_cts)
         elif item[0] == "dcross":
             fxr, fxi, bxr, bxi = _backward_dense_cross(
+                fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
+                var_gates, const_gates, var_cts)
+        elif item[0] == "xcross":
+            fxr, fxi, bxr, bxi = _backward_xcross(
                 fxr, fxi, bxr, bxi, ftape.instructions[item[1]], ftape,
                 var_gates, const_gates, var_cts)
         elif item[2] is None:
@@ -742,6 +782,22 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
                              sizes[fi_low.group], C64)
             dense_block_var_cts(fi_low, ops, T0_low, var_gates, const_gates,
                                 sizes[fi_low.group], C64, var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _backward_xcross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
+                     const_gates, var_cts: Dict[int, jax.Array]):
+    """Adjoint of a >2-group dense gate: subblock uncompute with G^-1,
+    pair-grad, transport with G^T (fused_autograd's FCross dense branch on
+    planes, generic-positions variant)."""
+    n = ftape.n
+    m = _cross_dense_gate(fi, var_gates, const_gates)
+    fxr, fxi = _apply_xcross(
+        fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)), fi.positions, n)
+    if fi.var:
+        var_cts[fi.queue_idx] = _plane_pair_grad(fxr, fxi, bxr, bxi,
+                                                 fi.positions, n)
+    bxr, bxi = _apply_xcross(bxr, bxi, m.T, fi.positions, n)
     return fxr, fxi, bxr, bxi
 
 
@@ -968,16 +1024,11 @@ plane_scanned_layers.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 def plane_epilogue_eligible(epi_ftape: FusedTape, dtype) -> bool:
-    """Density-only tapes whose every request targets a single group."""
+    """Density-only tapes (any positions: in-group requests read cached
+    Gram kernels, cross-group requests a subblock contraction)."""
     if not pl.plane_eligible(epi_ftape.n, dtype):
         return False
-    for fi in epi_ftape.instructions:
-        if not isinstance(fi, FDensity):
-            return False
-        groups = {gr.group_of_bit(epi_ftape.n, p)[0] for p in fi.positions}
-        if len(groups) != 1:
-            return False
-    return True
+    return all(isinstance(fi, FDensity) for fi in epi_ftape.instructions)
 
 
 def use_plane_epilogue(epi_ftape: FusedTape, dtype) -> bool:
@@ -995,42 +1046,78 @@ def _plane_gram(xr, xi, j: int, n: int) -> jax.Array:
     return pl.gram_axis(xr, xi, j, n, interpret=_interpret())
 
 
-def _collect_seed_pending(epi_ftape: FusedTape, density_cts, n: int,
-                          pending: Optional[Dict[int, jax.Array]] = None):
-    """Per-group summed seed operators ``(L + L^H)`` from the diff-density
-    cotangents of a density-only tape (fused_autograd._bwd flush_seeds)."""
+def _density_groups(fi: FDensity, n: int) -> set:
+    return {gr.group_of_bit(n, p)[0] for p in fi.positions}
+
+
+def _add_seed(pending: Dict, fi: FDensity, ct, n: int):
+    """Fold one diff-density cotangent into the seed accumulators: in-group
+    requests sum per-group expanded operators (key = group); cross-group
+    requests keep ``(positions, sym)`` pairs (key = positions tuple) —
+    their seed applies via the dense-cross/subblock path."""
     sizes = gr.group_sizes_low_first(n)
+    d = 1 << len(fi.positions)
+    ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+    sym = ct_m + ct_m.conj().T
+    groups = _density_groups(fi, n)
+    if len(groups) == 1:
+        j = groups.pop()
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        E = gr.expand_in_group(sym, rels, sizes[j])
+        pending[j] = E if j not in pending else pending[j] + E
+    else:
+        key = fi.positions
+        pending[key] = sym if key not in pending else pending[key] + sym
+
+
+def _collect_seed_pending(epi_ftape: FusedTape, density_cts, n: int,
+                          pending: Optional[Dict] = None):
+    """Summed seed operators ``(L + L^H)`` from the diff-density cotangents
+    of a density-only tape (fused_autograd._bwd flush_seeds)."""
     if pending is None:
         pending = {}
     it = iter(density_cts)
     for fi in epi_ftape.instructions:
         if not fi.diff:
             continue
-        ct = next(it)
-        d = 1 << len(fi.positions)
-        ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
-        sym = ct_m + ct_m.conj().T
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        E = gr.expand_in_group(sym, rels, sizes[j])
-        pending[j] = E if j not in pending else pending[j] + E
+        _add_seed(pending, fi, next(it), n)
     return pending
+
+
+def _cross_density(xr, xi, positions, n: int) -> jax.Array:
+    """Reduced density over positions spanning several groups:
+    ``rho[p, q] = sum_b psi[p, b] conj(psi[q, b])`` via real-pair subblock
+    views (groups.density's generic branch on planes, reference
+    primitives.cu:779-876)."""
+    dims = gr.group_dims(n)
+    Sr = gr.subblocks(xr.reshape(dims), positions, n)
+    Si = gr.subblocks(xi.reshape(dims), positions, n)
+    prec = config.matmul_precision()
+    Dr = (jnp.matmul(Sr, Sr.T, precision=prec)
+          + jnp.matmul(Si, Si.T, precision=prec))
+    Di = (jnp.matmul(Si, Sr.T, precision=prec)
+          - jnp.matmul(Sr, Si.T, precision=prec))
+    return (Dr + 1j * Di).astype(C64)
+
+
+def _density_for(grams: Dict, xr, xi, fi: FDensity, n: int) -> jax.Array:
+    sizes = gr.group_sizes_low_first(n)
+    groups = _density_groups(fi, n)
+    if len(groups) == 1:
+        j = groups.pop()
+        G = _gram_for(grams, xr, xi, j, n)
+        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
+        return gr.density_from_gram(G, rels, sizes[j])
+    return _cross_density(xr, xi, fi.positions, n)
 
 
 def _epilogue_density_list(epi_ftape: FusedTape, xr, xi, n: int):
     """Diff-density matrices of a density-only tape from cached per-group
-    Grams (one kernel read per group; merged read for tiny top groups)."""
-    sizes = gr.group_sizes_low_first(n)
+    Grams (one kernel read per group; merged read for tiny top groups;
+    subblock contraction for cross-group requests)."""
     grams: Dict[int, jax.Array] = {}
-    densities = []
-    for fi in epi_ftape.instructions:
-        if not fi.diff:
-            continue
-        j = gr.group_of_bit(n, fi.positions[0])[0]
-        G = _gram_for(grams, xr, xi, j, n)
-        rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-        densities.append(gr.density_from_gram(G, rels, sizes[j]))
-    return tuple(densities)
+    return tuple(_density_for(grams, xr, xi, fi, n)
+                 for fi in epi_ftape.instructions if fi.diff)
 
 
 def _gram_for(grams: Dict[int, jax.Array], xr, xi, j: int, n: int):
@@ -1079,9 +1166,20 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
         bxr, bxi = pl.apply_merged_top(fxr, fxi, jnp.conj(Mm), n,
                                        alias=False, conj=True, acc=acc,
                                        interpret=interp)
-    for jg, M in pending.items():
+    for key, M in pending.items():
         acc = None if bxr is None else (bxr, bxi)
-        bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), jg, n, alias=False,
+        if isinstance(key, tuple):
+            # cross-group density seed: bwd += M conj(psi) = conj(conj(M) psi)
+            groups = {gr.group_of_bit(n, p)[0] for p in key}
+            if len(groups) <= 2:
+                bxr, bxi = _apply_dense_cross(fxr, fxi, jnp.conj(M), key, n,
+                                              interp, conj=True, acc0=acc)
+            else:
+                yr, yi = _apply_xcross(fxr, fxi, jnp.conj(M), key, n)
+                bxr = yr if acc is None else bxr + yr
+                bxi = -yi if acc is None else bxi - yi
+            continue
+        bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), key, n, alias=False,
                                   conj=True, acc=acc, interpret=interp)
     return bxr, bxi
 
@@ -1388,20 +1486,11 @@ def std_scan_with_epilogue(pro_ftape: Optional[FusedTape], ftape: FusedTape,
 # ---------------------------------------------------------------------------
 
 def plane_full_tape_eligible(ftape: FusedTape, dtype) -> bool:
-    """Gates + densities: plane-executable when every cross-group gate is a
-    <=2-group diagonal and every density targets one group."""
-    if not pl.plane_eligible(ftape.n, dtype):
-        return False
-    for fi in ftape.instructions:
-        if isinstance(fi, FDensity):
-            groups = {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}
-            if len(groups) != 1:
-                return False
-        elif isinstance(fi, FCross):
-            if not fi.diag and len(
-                    {gr.group_of_bit(ftape.n, p)[0] for p in fi.positions}) > 2:
-                return False
-    return True
+    """Gates + densities: since round 2 EVERY instruction kind is
+    plane-executable (dense/diag blocks, cross-group gates of any span,
+    densities at any positions) — only the layout prerequisites remain
+    (>= 14 qubits, complex64)."""
+    return pl.plane_eligible(ftape.n, dtype)
 
 
 def use_plane_tape(ftape: FusedTape, dtype) -> bool:
@@ -1425,7 +1514,7 @@ def _trim_program(program, stop_after: Optional[int]):
             keep = tuple(i for i in item[1] if i <= stop_after)
             if keep:
                 out.append(("diag", keep))
-        elif item[0] in ("dens", "dcross", "mdiag"):
+        elif item[0] in ("dens", "dcross", "mdiag", "xcross"):
             if item[1] <= stop_after:
                 out.append(item)
         elif item[0] == "hpair":
@@ -1456,10 +1545,7 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
         if item[0] == "dens":
             fi = ftape.instructions[item[1]]
             if fi.diff:
-                jg = gr.group_of_bit(n, fi.positions[0])[0]
-                G = _gram_for(gram_cache, xr, xi, jg, n)
-                rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-                densities.append(gr.density_from_gram(G, rels, sizes[jg]))
+                densities.append(_density_for(gram_cache, xr, xi, fi, n))
             continue
         gram_cache.clear()
         if item[0] == "diag":
@@ -1475,6 +1561,11 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
                 fi.positions, n, _interpret())
+        elif item[0] == "xcross":
+            fi = ftape.instructions[item[1]]
+            xr, xi = _apply_xcross(
+                xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
+                fi.positions, n)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
             xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El), n,
@@ -1494,9 +1585,11 @@ def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
     if isinstance(fi, FCross):
         if not fi.diag:
             m = _cross_dense_gate(fi, var_gates, const_gates)
-            return _apply_dense_cross(
-                fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)),
-                fi.positions, n, interp)
+            minv = _inv_dense(m, fi.unitary, _cross_ctx(fi))
+            groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
+            if len(groups) > 2:
+                return _apply_xcross(fxr, fxi, minv, fi.positions, n)
+            return _apply_dense_cross(fxr, fxi, minv, fi.positions, n, interp)
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
         ctx = f"cross-group diag gate, queue index {fi.queue_idx}"
         dinv = _inv_diag(d, fi.unitary, ctx)
@@ -1564,14 +1657,7 @@ def _pt_bwd(ftape, residuals, density_cts):
             fi = ftape.instructions[item[1]]
             if not fi.diff:
                 continue
-            ct = ct_of[item[1]]
-            d = 1 << len(fi.positions)
-            ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
-            sym = ct_m + ct_m.conj().T
-            jg = gr.group_of_bit(n, fi.positions[0])[0]
-            rels = tuple(p % gr.GROUP_BITS for p in fi.positions)
-            E = gr.expand_in_group(sym, rels, sizes[jg])
-            pending[jg] = E if jg not in pending else pending[jg] + E
+            _add_seed(pending, fi, ct_of[item[1]], n)
             continue
 
         bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)

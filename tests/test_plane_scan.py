@@ -217,15 +217,15 @@ def test_schedule_dual_pairs():
 
 
 def test_ineligible_tapes_fall_back():
-    # dense cross-group gates over <=2 groups ARE eligible since round 2
-    # (per-group term accumulate sweeps); dense over >2 groups is not
+    # every cross-group gate kind is plane-eligible since round 2: dense
+    # over 2 groups (Schmidt terms) AND dense over >2 groups (subblocks)
     c = AutoGradCircuit(16, dtype=C64)
     c.add_q2_var_gate(6, 7)
     ftape = fuse_layer(c.tape)
     assert plane_tape_eligible(ftape, C64)
     ck = AutoGradCircuit(16, dtype=C64)
     ck.add_gate([0, 7, 14], var=True)  # groups 0, 1, 2
-    assert not plane_tape_eligible(fuse_layer(ck.tape), C64)
+    assert plane_tape_eligible(fuse_layer(ck.tape), C64)
     # too few qubits
     c2 = AutoGradCircuit(10, dtype=C64)
     c2.add_q1_var_gate(0)
@@ -291,8 +291,8 @@ def test_plane_epilogue_eligibility():
 
     n = 16
     epi = AutoGradCircuit(n, dtype=C64)
-    epi.get_q2_dens_op_with_grad(8, 3)  # cross-group density
-    assert not plane_epilogue_eligible(fuse_tape(epi.tape), C64)
+    epi.get_q2_dens_op_with_grad(8, 3)  # cross-group density: eligible (r2)
+    assert plane_epilogue_eligible(fuse_tape(epi.tape), C64)
     epi2 = AutoGradCircuit(n, dtype=C64)
     epi2.add_q1_const_gate(0)           # gates -> not an epilogue tape
     epi2.get_q1_dens_op_with_grad(0)
@@ -821,5 +821,60 @@ def test_merged_seed_and_gram_epilogue_parity(plane_mode):
     v_ref, g_ref = jax.value_and_grad(m.magnetization)(params)
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_xcross_and_cross_density_parity(plane_mode):
+    """The universal plane tape: a dense 3q gate spanning THREE groups plus
+    cross-group density requests — values and gradients vs the complex
+    engine (round-2 closes the last fallbacks)."""
+    n = 15
+
+    def run(force_plane):
+        config.set_plane_engine(True if force_plane else False)
+        c = AutoGradCircuit(n, dtype=C64)
+        c.add_gate([0, 7, 14], var=True)   # dense over groups 0, 1, 2
+        c.add_q1_var_gate(3)
+        c.get_q2_dens_op_with_grad(7, 6)   # cross-group density (0|1)
+        c.get_q2_dens_op_with_grad(14, 0)  # cross-group density (0|2)
+        c.get_q1_dens_op_with_grad(2)
+        _, adiff = c.build()
+
+        r = np.random.default_rng(31)
+        m = np.linalg.qr(r.normal(size=(8, 8)) + 1j * r.normal(size=(8, 8)))[0]
+        gates = [jnp.asarray(m.astype(np.complex64).reshape(-1)),
+                 jnp.asarray(rand_su2(r).reshape(-1))]
+
+        def loss(gs):
+            dens = adiff(gs, [])
+            return sum(jnp.sum(jnp.abs(dm) ** 2) for dm in dens).real
+
+        return jax.value_and_grad(loss)(gates)
+
+    v_pl, g_pl = run(True)
+    v_ref, g_ref = run(False)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=5e-5)
+
+
+def test_vqe_epilogue_cross_density_plane_parity(plane_mode):
+    """VQE-Ising's real epilogue (q2 densities on the ring incl. the
+    group-boundary and closure pairs) through the plane std op — the
+    cross-group density + cross-seed path."""
+    from dqc_tpu.circuit.plane_scan import plane_epilogue_eligible
+    from dqc_tpu.models.vqe_ising import VQEIsing
+
+    m = VQEIsing(15, 2, dtype=C64, scan=True)
+    assert plane_epilogue_eligible(m._epi_ftape, C64)
+    params = m.init_params(jax.random.PRNGKey(17))
+
+    v_pl, g_pl = jax.value_and_grad(m.energy)(params)
+    config.set_plane_engine(False)
+    v_ref, g_ref = jax.value_and_grad(m.energy)(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=3e-4, atol=3e-5)
