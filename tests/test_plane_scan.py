@@ -299,6 +299,7 @@ def test_plane_epilogue_eligibility():
     assert not plane_epilogue_eligible(fuse_tape(epi2.tape), C64)
 
 
+@pytest.mark.slow
 def test_distributed_plane_scan_parity(plane_mode):
     """dist_plane_scanned_layers == dist_scanned_layers (value + grads) on an
     8-device virtual mesh at 17 qubits (14 local)."""
@@ -594,7 +595,7 @@ def test_vqe_model_std_path_parity(plane_mode):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("n", [15, 16])
+@pytest.mark.parametrize("n", [15, pytest.param(16, marks=pytest.mark.slow)])
 def test_dense_cross_model_parity(plane_mode, n):
     """CNOT-entangled hardware-efficient ansatz: the ring's group-boundary
     CNOTs are DENSE cross-group gates, executed in the plane engine as
@@ -760,6 +761,7 @@ def test_k3_dense_cross_tape_parity(plane_mode):
                                    rtol=3e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_hpair_merged_top_sweep_parity(plane_mode):
     """n=22 (groups 7,7,7,1): the dense blocks on group 2 and the tiny top
     group 3 must execute as ONE merged 256-axis sweep ('hpair'), with both
