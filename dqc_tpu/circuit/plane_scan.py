@@ -836,6 +836,24 @@ def _backward_dense_cross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
     return fxr, fxi, bxr, bxi
 
 
+def _uncompute_program(fxr, fxi, program, ftape, var_gates, const_gates):
+    """Roll the forward planes back through a program without a cotangent
+    (zero-grad region: trailing gates / const-only epilogue segments)."""
+    for item in reversed(program):
+        if item[0] == "diag":
+            Tinv = _diag_run_tables(item[1], ftape, var_gates, const_gates,
+                                    inverse=True)
+            fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
+                                         interpret=_interpret())
+            continue
+        fxr, fxi = _uncompute_only(fxr, fxi, ftape.instructions[item[1]],
+                                   ftape, var_gates, const_gates)
+        if len(item) > 2 and item[2] is not None:
+            fxr, fxi = _uncompute_only(fxr, fxi, ftape.instructions[item[2]],
+                                       ftape, var_gates, const_gates)
+    return fxr, fxi
+
+
 def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
                    var_cts: Dict[int, jax.Array]):
     """Roll (fwd, bwd) planes back through one instruction, recording var

@@ -202,20 +202,30 @@ class VQEIsing:
         h = self.h
 
         from dqc_tpu.parallel.plane_scan import (
-            dist_plane_scanned_layers, use_dist_plane_engine,
+            dist_plane_scanned_layers,
+            dist_plane_std_scan_densities,
+            use_dist_plane_engine,
+            use_dist_plane_std,
         )
 
-        scan_layers = (
-            dist_plane_scanned_layers
-            if use_dist_plane_engine(layer_prog, dtype)
-            else dist_scanned_layers
-        )
+        plane_layers = use_dist_plane_engine(layer_prog, dtype)
+        plane_std = plane_layers and use_dist_plane_std(
+            pro_prog, layer_prog, epi_prog, dtype)
+        scan_layers = (dist_plane_scanned_layers if plane_layers
+                       else dist_scanned_layers)
 
         def body(stacked):
-            local = pdist.local_standard_state(n, k, axis, dtype)
-            _, local = dist_fused_run(pro_prog, axis, local, (), const_gates)
-            local = scan_layers(layer_prog, axis, local, stacked, ())
-            densities = dist_fused_forward(epi_prog, axis, local, (), ())
+            if plane_std:
+                # fully plane-resident: |0..0> as local planes, prologue +
+                # scan + psum'd density epilogue with no 2^m complex buffer
+                densities = dist_plane_std_scan_densities(
+                    pro_prog, layer_prog, epi_prog, axis, const_gates,
+                    stacked, ())
+            else:
+                local = pdist.local_standard_state(n, k, axis, dtype)
+                _, local = dist_fused_run(pro_prog, axis, local, (), const_gates)
+                local = scan_layers(layer_prog, axis, local, stacked, ())
+                densities = dist_fused_forward(epi_prog, axis, local, (), ())
             e = sum(jnp.einsum("ij,ji->", dm, h) for dm in densities)
             return e.real
 

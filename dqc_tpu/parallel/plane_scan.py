@@ -148,3 +148,197 @@ def _match(ct, ref):
 
 
 dist_plane_scanned_layers.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully plane-resident distributed standard-state pipeline
+#
+# The distributed counterpart of circuit/plane_scan.plane_std_scan_densities:
+# |0..0> is built AS local planes (amplitude 0 on mesh position 0), the
+# const-only prologue, the layer scan, and the density epilogue (per-group
+# Gram kernels + one psum per group; subblock contractions + psum for
+# cross-group requests) all run on the local shard's planes — no 2^m complex
+# buffer exists anywhere in the fwd+bwd graph, giving the sharded path the
+# same per-shard memory ceiling as the single-chip 29q result.
+# ---------------------------------------------------------------------------
+
+from dqc_tpu.circuit.fusion import FDensity
+from dqc_tpu.ops import groups as gr
+from dqc_tpu.parallel.layout import DDensity
+
+
+def local_standard_planes(m: int, axis: str):
+    """|0..0> as local planes: amplitude 0 lives on mesh position 0."""
+    shape = pl.plane_shape(m)
+    first = (jax.lax.axis_index(axis) == 0).astype(jnp.float32)
+    xr = jnp.zeros(shape, jnp.float32).at[0, 0, 0].set(first)
+    return xr, jnp.zeros(shape, jnp.float32)
+
+
+def _epi_density(gram_cache, xr, xi, positions, m: int, axis: str):
+    groups = {gr.group_of_bit(m, p)[0] for p in positions}
+    sizes = gr.group_sizes_low_first(m)
+    if len(groups) == 1:
+        j = groups.pop()
+        G = gram_cache.get(j)
+        if G is None:
+            G = jax.lax.psum(ps._plane_gram(xr, xi, j, m), axis)
+            gram_cache[j] = G
+        rels = tuple(p % gr.GROUP_BITS for p in positions)
+        return gr.density_from_gram(G, rels, sizes[j])
+    return jax.lax.psum(ps._cross_density(xr, xi, positions, m), axis)
+
+
+def _epilogue_forward(dprog: DFusedProgram, axis: str, xr, xi, var_gates,
+                      const_gates):
+    """Walk an epilogue program (densities + localizing swaps + any const
+    segments) on planes; returns (diff densities, final planes)."""
+    m = dprog.m
+    densities = []
+    gram_cache: Dict[int, jax.Array] = {}
+    for di in dprog.instructions:
+        if isinstance(di, DDensity):
+            if di.diff:
+                densities.append(
+                    _epi_density(gram_cache, xr, xi, di.positions, m, axis))
+            continue
+        gram_cache.clear()
+        if isinstance(di, DSwap):
+            xr, xi = _swap_planes(xr, xi, di.local_positions, axis)
+            continue
+        assert isinstance(di, FSeg), di
+        vg, cg = _seg_gates(di, var_gates, const_gates)
+        xr, xi = ps._apply_forward(xr, xi, ps.plane_program(di.ftape),
+                                   di.ftape, vg, cg)
+    return tuple(densities), (xr, xi)
+
+
+def _prog_all_const(dprog: DFusedProgram) -> bool:
+    for di in dprog.instructions:
+        if isinstance(di, DDensity):
+            return False
+        if isinstance(di, FSeg) and not ps._tape_all_const(di.ftape):
+            return False
+    return True
+
+
+def use_dist_plane_std(pro_prog, layer_prog: DFusedProgram,
+                       epi_prog: DFusedProgram, dtype) -> bool:
+    from dqc_tpu import config
+
+    mode = config.plane_engine()
+    if mode is False:
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(C64) or layer_prog.m < 14:
+        return False
+    if pro_prog is not None and not _prog_all_const(pro_prog):
+        return False
+    for di in epi_prog.instructions:
+        if isinstance(di, FSeg) and not ps._tape_all_const(di.ftape):
+            return False  # var gates in the epilogue: composed path
+    if mode is True:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def dist_plane_std_scan_densities(pro_prog, layer_prog: DFusedProgram,
+                                  epi_prog: DFusedProgram, axis: str,
+                                  pro_const_gates, stacked_var_gates,
+                                  const_gates):
+    """Diff densities of ``epi_prog`` after ``pro_prog`` (const-only, may be
+    None) then L layers of ``layer_prog``, from |0..0>, on local planes."""
+    densities, _ = _dist_std_impl(pro_prog, layer_prog, epi_prog, axis,
+                                  pro_const_gates, stacked_var_gates,
+                                  const_gates)
+    return densities
+
+
+def _dist_std_impl(pro_prog, layer_prog, epi_prog, axis, pro_const_gates,
+                   stacked_var_gates, const_gates):
+    m = layer_prog.m
+    xr, xi = local_standard_planes(m, axis)
+    if pro_prog is not None:
+        xr, xi = _forward_layer(pro_prog, axis, xr, xi, (), pro_const_gates)
+
+    def body(carry, layer_gates):
+        cr, ci = carry
+        cr, ci = _forward_layer(layer_prog, axis, cr, ci, layer_gates,
+                                const_gates)
+        return (cr, ci), None
+
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates)
+    return _epilogue_forward(epi_prog, axis, xr, xi, (), ())
+
+
+def _std_fwd(pro_prog, layer_prog, epi_prog, axis, pro_const_gates,
+             stacked_var_gates, const_gates):
+    densities, (xr, xi) = _dist_std_impl(
+        pro_prog, layer_prog, epi_prog, axis, pro_const_gates,
+        stacked_var_gates, const_gates)
+    return densities, (xr, xi, pro_const_gates, stacked_var_gates, const_gates)
+
+
+def _std_bwd(pro_prog, layer_prog, epi_prog, axis, residuals, density_cts):
+    fxr, fxi, pro_const_gates, stacked_var_gates, const_gates = residuals
+    m = layer_prog.m
+    interp = ps._interpret()
+
+    diff_indices = [i for i, di in enumerate(epi_prog.instructions)
+                    if isinstance(di, DDensity) and di.diff]
+    ct_of = dict(zip(diff_indices, density_cts))
+
+    # reverse the epilogue: density cotangents -> plane seeds; swaps and
+    # const segments transport/uncompute
+    bxr = bxi = None
+    pending: Dict = {}
+    for idx in range(len(epi_prog.instructions) - 1, -1, -1):
+        di = epi_prog.instructions[idx]
+        if isinstance(di, DDensity):
+            if di.diff:
+                ps._add_seed(pending, FDensity(di.positions, True),
+                             ct_of[idx], m)
+            continue
+        bxr, bxi = ps._seed_apply(fxr, fxi, pending, m, interp, bxr, bxi)
+        pending = {}
+        if isinstance(di, DSwap):
+            fxr, fxi = _swap_planes(fxr, fxi, di.local_positions, axis)
+            if bxr is not None:
+                bxr, bxi = _swap_planes(bxr, bxi, di.local_positions, axis)
+            continue
+        assert isinstance(di, FSeg), di
+        vg, cg = _seg_gates(di, (), ())
+        program = ps.plane_program(di.ftape)
+        if bxr is None:
+            fxr, fxi = ps._uncompute_program(fxr, fxi, program, di.ftape,
+                                             vg, cg)
+        else:
+            fxr, fxi, bxr, bxi = ps._backward_program(
+                fxr, fxi, bxr, bxi, program, di.ftape, vg, cg, {})
+    bxr, bxi = ps._seed_apply(fxr, fxi, pending, m, interp, bxr, bxi)
+
+    pro_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in pro_const_gates)
+    const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+    if bxr is None:
+        stacked_cts = jax.tree_util.tree_map(
+            lambda g: jnp.zeros_like(jnp.asarray(g)), stacked_var_gates)
+        return pro_cts, stacked_cts, const_cts
+
+    def body(carry, layer_gates):
+        cfxr, cfxi, cbxr, cbxi = carry
+        cfxr, cfxi, cbxr, cbxi, cts = _backward_layer(
+            layer_prog, axis, cfxr, cfxi, cbxr, cbxi, layer_gates,
+            const_gates)
+        cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
+        return (cfxr, cfxi, cbxr, cbxi), cts
+
+    # the reverse scan stops at the const-only prologue (no state cotangent
+    # is returned, exactly as the single-chip std op)
+    (_, _, _, _), stacked_cts = jax.lax.scan(
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates, reverse=True)
+    stacked_cts = jax.tree_util.tree_map(
+        lambda x: jax.lax.psum(x, axis), stacked_cts)
+    return pro_cts, stacked_cts, const_cts
+
+
+dist_plane_std_scan_densities.defvjp(_std_fwd, _std_bwd)

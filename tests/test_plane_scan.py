@@ -880,3 +880,39 @@ def test_vqe_epilogue_cross_density_plane_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_dist_plane_std_pipeline_parity(plane_mode):
+    """The fully plane-resident distributed pipeline (local standard
+    planes -> const prologue -> layer scan -> psum'd density epilogue)
+    must match the complex distributed path: VQE at n=16 over 2 devices
+    (m=15 local qubits >= 14 so the plane path engages)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from dqc_tpu.models.vqe_ising import VQEIsing
+    from dqc_tpu.parallel.plane_scan import use_dist_plane_std
+
+    devs = np.array(jax.devices()[:2])
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(devs, ("q",))
+
+    m = VQEIsing(16, 2, dtype=C64, scan=True)
+    energy_pl = m.build_distributed_energy(mesh, axis="q")
+    params = m.init_params(jax.random.PRNGKey(3))
+    v_pl, g_pl = jax.value_and_grad(energy_pl)(params)
+
+    config.set_plane_engine(False)
+    energy_ref = m.build_distributed_energy(mesh, axis="q")
+    v_ref, g_ref = jax.value_and_grad(energy_ref)(params)
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
+
+    # and vs the single-device engine
+    v_1, g_1 = jax.value_and_grad(m.energy)(params)
+    np.testing.assert_allclose(float(v_pl), float(v_1), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_1),
+                               rtol=3e-4, atol=3e-5)
