@@ -171,7 +171,26 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
             items.append(("dense", i, j))
     if run:
         items.extend(_split_diag_run(run))
-    return _pair_top_groups(tuple(items), ftape)
+    return _pair_diag_into_dual(_pair_top_groups(tuple(items), ftape), ftape)
+
+
+def _pair_diag_into_dual(items: Tuple[Tuple, ...], ftape: FusedTape):
+    """Fold a diagonal run IMMEDIATELY followed by a minor dense sweep into
+    one fused kernel item ``('ddual', run, i, j)`` — the VQE/QAOA layer
+    shape (entangler ring, then rotations): the dual kernel pre-multiplies
+    the run's tables in-cell and its adjoint rolls (fwd, bwd) through the
+    run in the same pass, saving one full-state pass forward and two
+    backward per layer."""
+    out: List[Tuple] = []
+    for item in items:
+        if (out and out[-1][0] == "diag" and item[0] == "dense"):
+            fi = ftape.instructions[item[1]]
+            if isinstance(fi, FBlock) and fi.group in (0, 1):
+                run = out.pop()[1]
+                out.append(("ddual", run, item[1], item[2]))
+                continue
+        out.append(item)
+    return tuple(out)
 
 
 def _item_touched(item, ftape: FusedTape) -> set:
@@ -408,8 +427,17 @@ def _diag_run_backward(fxr, fxi, bxr, bxi, run, ftape: FusedTape,
     Tinv = _diag_run_tables(run, ftape, var_gates, const_gates, inverse=True)
     fxr, fxi, bxr, bxi, Q = pl.backward_diag_run(
         fxr, fxi, bxr, bxi, Tinv, T, with_q=has_var, interpret=_interpret())
-    if not has_var:
-        return fxr, fxi, bxr, bxi
+    if has_var:
+        _diag_cts_from_Q(run, ftape, var_gates, const_gates, Q, var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _diag_cts_from_Q(run, ftape: FusedTape, var_gates, const_gates, Q,
+                     var_cts: Dict[int, jax.Array]):
+    """Per-gate cotangents of a diagonal run from the kernel's Q pair
+    reductions (see _diag_run_backward's docstring for the closure)."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
     Qsl, Qas, Qal = Q
     for i in run:
         fi = ftape.instructions[i]
@@ -450,7 +478,6 @@ def _diag_run_backward(fxr, fxi, bxr, bxi, run, ftape: FusedTape,
                 jnp.asarray(d).astype(C64),
             )
             var_cts[fi.queue_idx] = vjp(W2)[0]
-    return fxr, fxi, bxr, bxi
 
 
 def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
@@ -673,12 +700,30 @@ def _hpair_ops(item, ftape, var_gates, const_gates, *, inverse=False):
     return El, Et
 
 
+def _apply_ddual(xr, xi, item, ftape, var_gates, const_gates):
+    """Fused [diag run + minor dense sweep] forward: one kernel pass."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
+    fi = ftape.instructions[item[2]]
+    E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+    if item[3] is not None:
+        fj = ftape.instructions[item[3]]
+        Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
+        E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
+    else:
+        E0, E1 = (E, None) if fi.group == 0 else (None, E)
+    return pl.apply_dual(xr, xi, E0, E1, diag=T, interpret=_interpret())
+
+
 def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
     """Gate-only forward over a plane program (no density items)."""
     for item in program:
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "ddual":
+            xr, xi = _apply_ddual(xr, xi, item, ftape, var_gates, const_gates)
         elif item[0] == "mdiag":
             fi = ftape.instructions[item[1]]
             d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
@@ -712,6 +757,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
         if item[0] == "diag":
             fxr, fxi, bxr, bxi = _diag_run_backward(
                 fxr, fxi, bxr, bxi, item[1], ftape, var_gates, const_gates,
+                var_cts)
+        elif item[0] == "ddual":
+            fxr, fxi, bxr, bxi = _backward_ddual(
+                fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
                 var_cts)
         elif item[0] == "mdiag":
             fxr, fxi, bxr, bxi = _backward_multi_diag(
@@ -846,6 +895,18 @@ def _uncompute_program(fxr, fxi, program, ftape, var_gates, const_gates):
             fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
                                          interpret=_interpret())
             continue
+        if item[0] == "ddual":
+            # forward was [diag run, dense (pair)]: undo dense then run
+            for idx in (item[3], item[2]):
+                if idx is not None:
+                    fxr, fxi = _uncompute_only(
+                        fxr, fxi, ftape.instructions[idx], ftape, var_gates,
+                        const_gates)
+            Tinv = _diag_run_tables(item[1], ftape, var_gates, const_gates,
+                                    inverse=True)
+            fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
+                                         interpret=_interpret())
+            continue
         fxr, fxi = _uncompute_only(fxr, fxi, ftape.instructions[item[1]],
                                    ftape, var_gates, const_gates)
         if len(item) > 2 and item[2] is not None:
@@ -902,6 +963,67 @@ def _backward_step(fxr, fxi, bxr, bxi, fi, ftape, var_gates, const_gates,
         dense_block_var_cts(fi, ops, T0.astype(C64), var_gates, const_gates,
                             g, C64, var_cts)
     return fxr, fxi, bxr_n, bxi_n
+
+
+def _backward_ddual(fxr, fxi, bxr, bxi, item, ftape, var_gates,
+                    const_gates, var_cts: Dict[int, jax.Array]):
+    """Adjoint of a fused [diag run + minor dense pair] in ONE kernel pass:
+    the dual pair reverses exactly as _backward_dual_step, then (fwd, bwd)
+    roll through the preceding diagonal run in the same pass with its Q
+    reductions; per-gate cotangents close from T0l/T0s and Q."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_dual
+
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    run = item[1]
+    fi_first = ftape.instructions[item[2]]
+    fi_second = (ftape.instructions[item[3]]
+                 if item[3] is not None else None)
+    if fi_second is None:
+        lane_fi = fi_first if fi_first.group == 0 else None
+        sub_fi = fi_first if fi_first.group == 1 else None
+        g0_first = fi_first.group == 0
+    else:
+        g0_first = fi_first.group == 0
+        lane_fi = fi_first if g0_first else fi_second
+        sub_fi = fi_second if g0_first else fi_first
+
+    eye = np.eye(128, dtype=np.float32)
+    zr = np.zeros((128, 128), dtype=np.float32)
+
+    def ops_of(f, g):
+        if f is None:
+            return (eye, zr), (eye, zr)
+        Einv = _block_operator(f, var_gates, const_gates, g, inverse=True,
+                               reverse=True)
+        E = _block_operator(f, var_gates, const_gates, g)
+        return pl.op_planes(Einv), pl.op_planes(E)
+
+    (e0ir, e0ii), (e0r, e0i) = ops_of(lane_fi, sizes[0])
+    (e1ir, e1ii), (e1r, e1i) = ops_of(sub_fi, sizes[1])
+    T = _diag_run_tables(run, ftape, var_gates, const_gates)
+    Tinv = _diag_run_tables(run, ftape, var_gates, const_gates, inverse=True)
+    with_q = _run_has_var(run, ftape)
+    out = block_backward_dual(
+        fxr, fxi, bxr, bxi, e0ir, e0ii, e0r, e0i, e1ir, e1ii, e1r, e1i,
+        g0_first=g0_first, dot_mode=config.kernel_dot_mode(),
+        diag_inv_tables=pl._diag_table_planes(Tinv),
+        diag_tables=pl._diag_table_planes(T), diag_q=with_q,
+        interpret=_interpret())
+    fxr, fxi, bxr, bxi = out[0], out[1], out[2], out[3]
+    if lane_fi is not None and lane_fi.has_var:
+        ops = _block_ops(lane_fi, var_gates, const_gates, sizes[0], C64)
+        dense_block_var_cts(lane_fi, ops, (out[4] + 1j * out[5]).astype(C64),
+                            var_gates, const_gates, sizes[0], C64, var_cts)
+    if sub_fi is not None and sub_fi.has_var:
+        ops = _block_ops(sub_fi, var_gates, const_gates, sizes[1], C64)
+        dense_block_var_cts(sub_fi, ops, (out[6] + 1j * out[7]).astype(C64),
+                            var_gates, const_gates, sizes[1], C64, var_cts)
+    if with_q:
+        Q = (out[8] + 1j * out[9], out[10] + 1j * out[11],
+             out[12] + 1j * out[13])
+        _diag_cts_from_Q(run, ftape, var_gates, const_gates, Q, var_cts)
+    return fxr, fxi, bxr, bxi
 
 
 def _backward_dual_step(fxr, fxi, bxr, bxi, fi_first, fi_second, ftape,
@@ -1535,6 +1657,20 @@ def _trim_program(program, stop_after: Optional[int]):
         elif item[0] in ("dens", "dcross", "mdiag", "xcross"):
             if item[1] <= stop_after:
                 out.append(item)
+        elif item[0] == "ddual":
+            keep_run = tuple(x for x in item[1] if x <= stop_after)
+            keep_dense = [x for x in (item[2], item[3])
+                          if x is not None and x <= stop_after]
+            whole = (keep_run == tuple(item[1])
+                     and len(keep_dense) == (2 if item[3] is not None else 1))
+            if whole:
+                out.append(item)
+            else:
+                if keep_run:
+                    out.append(("diag", keep_run))
+                if keep_dense:
+                    out.append(("dense", keep_dense[0],
+                                keep_dense[1] if len(keep_dense) > 1 else None))
         elif item[0] == "hpair":
             keep = [x for x in (item[1], item[2]) if x <= stop_after]
             if len(keep) == 2:
@@ -1569,6 +1705,8 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
         if item[0] == "diag":
             T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
+        elif item[0] == "ddual":
+            xr, xi = _apply_ddual(xr, xi, item, ftape, var_gates, const_gates)
         elif item[0] == "mdiag":
             fi = ftape.instructions[item[1]]
             xr, xi = pl.apply_multi_diag(
@@ -1681,21 +1819,8 @@ def _pt_bwd(ftape, residuals, density_cts):
         bxr, bxi = flush_seeds(fxr, fxi, bxr, bxi)
         if bxr is None:
             # before any seed: uncompute only (zero-grad trailing gates)
-            if item[0] == "diag":
-                Tinv = _diag_run_tables(item[1], ftape, var_gates,
-                                        const_gates, inverse=True)
-                fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
-                                             interpret=_interpret())
-            else:
-                fxr, fxi = _uncompute_only(
-                    fxr, fxi, ftape.instructions[item[1]], ftape, var_gates,
-                    const_gates)
-                # dense pairs and hpairs carry a second instruction;
-                # len-2 items (mdiag/dcross) do not
-                if len(item) > 2 and item[2] is not None:
-                    fxr, fxi = _uncompute_only(
-                        fxr, fxi, ftape.instructions[item[2]], ftape,
-                        var_gates, const_gates)
+            fxr, fxi = _uncompute_program(fxr, fxi, (item,), ftape,
+                                          var_gates, const_gates)
             continue
         fxr, fxi, bxr, bxi = _backward_program(
             fxr, fxi, bxr, bxi, (item,), ftape, var_gates, const_gates,

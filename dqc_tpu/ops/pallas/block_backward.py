@@ -202,14 +202,38 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     )(fr, fi, br, bi, *inv, *et)
 
 
-def _kernel_dual(a_blk, g0_first, dot_mode,
+def _cmul(xr, xi, yr, yi):
+    return xr * yr - xi * yi, xr * yi + xi * yr
+
+
+def _diag_tile_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
+    """x *= Tas[a,s]*Tal[a,l]*Tsl[s,l] on an (a_blk, 128, 128) tile."""
+    mr, mi = _cmul(
+        tas_r[:][:, :, None], tas_i[:][:, :, None],
+        tal_r[:][:, None, :], tal_i[:][:, None, :],
+    )
+    mr, mi = _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
+    return _cmul(xr, xi, mr, mi)
+
+
+def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
                  l_e1, l_e2, l_e3,         # lane E0 (right-mult for transport)
                  s_inv1, s_inv2, s_inv3,   # sublane E1^-1 (left-mult)
                  s_e1, s_e2, s_e3,         # sublane E1^T (left-mult)
-                 fir_ref, fii_ref, bnr_ref, bni_ref,
-                 t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref):
+                 *rest):
+    if has_diag:
+        (isl_r, isl_i, ias_r, ias_i, ial_r, ial_i,
+         tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:12], rest[12:]
+    if diag_q:
+        (fir_ref, fii_ref, bnr_ref, bni_ref,
+         t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref,
+         qsl_r_ref, qsl_i_ref, qas_r_ref, qas_i_ref,
+         qal_r_ref, qal_i_ref) = rest
+    else:
+        (fir_ref, fii_ref, bnr_ref, bni_ref,
+         t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref) = rest
     """Adjoint step for a lane-group AND a sublane-group block in ONE read of
     the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
     the sublane block in tape order (then the sublane block is uncomputed
@@ -309,13 +333,48 @@ def _kernel_dual(a_blk, g0_first, dot_mode,
     t0s_r_ref[:] += t0s_r
     t0s_i_ref[:] += t0s_i
 
+    if has_diag:
+        # the diagonal run preceded the dual in the forward: roll (fwd, bwd)
+        # through it here — Q pair product BEFORE the updates, then
+        # fwd *= D_inv, bwd *= D (ops/pallas/diag.py semantics)
+        fr_c = fir_ref[:]
+        fi_c = fii_ref[:]
+        br_c = bnr_ref[:]
+        bi_c = bni_ref[:]
+        if diag_q:
+            qr, qi = _cmul(br_c, bi_c, fr_c, fi_c)
 
-@functools.partial(jax.jit, static_argnames=("g0_first", "a_blk", "dot_mode", "interpret"))
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                qsl_r_ref[:] = jnp.zeros_like(qsl_r_ref)
+                qsl_i_ref[:] = jnp.zeros_like(qsl_i_ref)
+
+            qsl_r_ref[:] += jnp.sum(qr, axis=0)
+            qsl_i_ref[:] += jnp.sum(qi, axis=0)
+            qas_r_ref[:] = jnp.sum(qr, axis=2)
+            qas_i_ref[:] = jnp.sum(qi, axis=2)
+            qal_r_ref[:] = jnp.sum(qr, axis=1)
+            qal_i_ref[:] = jnp.sum(qi, axis=1)
+        fr_c, fi_c = _diag_tile_mul(fr_c, fi_c, isl_r, isl_i, ias_r, ias_i,
+                                    ial_r, ial_i)
+        br_c, bi_c = _diag_tile_mul(br_c, bi_c, tsl_r, tsl_i, tas_r, tas_i,
+                                    tal_r, tal_i)
+        fir_ref[:] = fr_c
+        fii_ref[:] = fi_c
+        bnr_ref[:] = br_c
+        bni_ref[:] = bi_c
+
+
+@functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
+                                             "dot_mode", "diag_q",
+                                             "interpret"))
 def block_backward_dual(fr, fi, br, bi,
                         e0inv_r, e0inv_i, e0_r, e0_i,
                         e1inv_r, e1inv_i, e1_r, e1_i,
                         *, g0_first: bool = True, a_blk: int = 4,
-                        dot_mode: str = "f32", interpret: bool = False):
+                        dot_mode: str = "f32", diag_inv_tables=None,
+                        diag_tables=None, diag_q: bool = False,
+                        interpret: bool = False):
     """One-pass adjoint step for a PAIR of blocks on the lane (E0) and
     sublane (E1) groups — the backward mirror of dual_group_apply_planes.
 
@@ -329,30 +388,51 @@ def block_backward_dual(fr, fi, br, bi,
     A = fr.shape[0]
     if A % a_blk:
         a_blk = 1
+    if diag_tables is not None and a_blk % 8 and a_blk != A:
+        # Mosaic: the (a_blk, 128) table blocks need a sublane dim divisible
+        # by 8 (or the whole array)
+        a_blk = 8 if A % 8 == 0 else A
     l_inv = e0inv_r.T, (e0inv_r + e0inv_i).T, (e0inv_i - e0inv_r).T
     l_e = e0_r, e0_r + e0_i, e0_i - e0_r
     s_inv = e1inv_r, e1inv_r + e1inv_i, e1inv_i - e1inv_r
     s_e = e1_r.T, (e1_r + e1_i).T, (e1_i - e1_r).T
     bs = cm.blk3
     es = cm.fixed2
-    kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode)
+    has_diag = diag_tables is not None
+    kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode,
+                             has_diag, diag_q and has_diag)
+    A_ = fr.shape[0]
     big = jax.ShapeDtypeStruct(fr.shape, F32)
     small = jax.ShapeDtypeStruct((128, 128), F32)
+    big_spec = pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)
+    sm_spec = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
+    tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
+    in_specs = [big_spec] * 4 + [sm_spec] * 12
+    args = (fr, fi, br, bi) + tuple(l_inv) + tuple(l_e) + tuple(s_inv) + tuple(s_e)
+    out_shape = (big, big, big, big, small, small, small, small)
+    out_specs = (big_spec,) * 4 + (sm_spec,) * 4
+    if has_diag:
+        # inverse then forward tables: (tsl_r/i fixed; tas/tal r/i per-block)
+        for tabs in (diag_inv_tables, diag_tables):
+            in_specs += [sm_spec, sm_spec, tab_a, tab_a, tab_a, tab_a]
+            args += tuple(tabs)
+        if diag_q:
+            a_sh = jax.ShapeDtypeStruct((A_, 128), F32)
+            out_shape += (small, small, a_sh, a_sh, a_sh, a_sh)
+            out_specs += (sm_spec, sm_spec, tab_a, tab_a, tab_a, tab_a)
     return pl.pallas_call(
         kern,
-        out_shape=(big, big, big, big, small, small, small, small),
+        out_shape=out_shape,
         grid=(A // a_blk,),
-        in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
-                + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 12,
-        out_specs=(pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM),) * 4
-                 + (pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM),) * 4,
+        in_specs=in_specs,
+        out_specs=out_specs,
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fr, fi, br, bi, *l_inv, *l_e, *s_inv, *s_e)
+    )(*args)
 
 
 def _kernel_high(x_dim, dot_mode,

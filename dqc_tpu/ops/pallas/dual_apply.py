@@ -35,18 +35,42 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, dot_mode, conj, has_acc, xr_ref, xi_ref,
+def _cmul(xr, xi, yr, yi):
+    return xr * yr - xi * yi, xr * yi + xi * yr
+
+
+def _diag_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
+    """x *= Tas[a,s]*Tal[a,l]*Tsl[s,l] on an (a_blk, 128, 128) tile (the
+    fused diag-run multiplier, ops/pallas/diag.py layout)."""
+    mr, mi = _cmul(
+        tas_r[:][:, :, None], tas_i[:][:, :, None],
+        tal_r[:][:, None, :], tal_i[:][:, None, :],
+    )
+    mr, mi = _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
+    return _cmul(xr, xi, mr, mi)
+
+
+def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
             k1, k2, k3, m1, m2, m3, *rest):
+    if has_diag:
+        (tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:6], rest[6:]
     if has_acc:
         accr_ref, acci_ref, yr_ref, yi_ref = rest
     else:
         yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    if has_diag:
+        # pre-multiply by the fused diagonal run (applied BEFORE the dual
+        # gates in the forward program) — zero extra HBM passes
+        xr, xi = _diag_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+
     # lane group: y = x @ El^T via Karatsuba (k1 = El^T, k2 = (El+iEl_i)^T
     # style combinations precomputed by the wrapper)
-    x2r = xr_ref[:].reshape(-1, 128)
-    x2i = xi_ref[:].reshape(-1, 128)
+    x2r = xr.reshape(-1, 128)
+    x2i = xi.reshape(-1, 128)
     t1 = dot(x2r + x2i, k1[:])
     t2 = dot(x2i, k2[:])
     t3 = dot(x2r, k3[:])
@@ -74,7 +98,7 @@ def _kernel(a_blk, dot_mode, conj, has_acc, xr_ref, xi_ref,
                                              "conj", "interpret"))
 def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
                             dot_mode: str = "f32", alias: bool = True,
-                            conj: bool = False, acc=None,
+                            conj: bool = False, acc=None, diag_tables=None,
                             interpret: bool = False):
     """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
     ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
@@ -104,15 +128,24 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
     bs = cm.blk3
     es = cm.fixed2
     has_acc = acc is not None
-    kern = functools.partial(_kernel, a_blk, dot_mode, conj, has_acc)
+    has_diag = diag_tables is not None
+    kern = functools.partial(_kernel, a_blk, dot_mode, conj, has_acc,
+                             has_diag)
     big = pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)
-    in_specs = [big] * 2 + [pl.BlockSpec((128, 128), es,
-                                         memory_space=pltpu.VMEM)] * 6
+    tab_sl = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
+    tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
+    in_specs = [big] * 2 + [tab_sl] * 6
     args = (xr, xi, k1, k2, k3, m1, m2, m3)
+    acc_base = 8
+    if has_diag:
+        # (tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+        in_specs = in_specs + [tab_sl, tab_sl, tab_a, tab_a, tab_a, tab_a]
+        args = args + tuple(diag_tables)
+        acc_base += 6
     if has_acc:
         in_specs = in_specs + [big, big]
         args = args + (acc[0], acc[1])
-        aliases = {8: 0, 9: 1}
+        aliases = {acc_base: 0, acc_base + 1: 1}
     else:
         # in-place update: the state planes are dead after the sweep
         # (SURVEY 7 step 4b - the reference mutates one buffer in place)

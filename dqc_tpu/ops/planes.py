@@ -240,11 +240,22 @@ def _trace_id(Gm: jax.Array, X: int, Xl: int) -> jax.Array:
 # Dense applies
 # ---------------------------------------------------------------------------
 
+def _diag_table_planes(tables):
+    """Complex (tsl, tas, tal) -> the 6 f32 operands of the diag-run
+    kernels (host split for concrete tables)."""
+    if tables is None:
+        return None
+    tsl, tas, tal = tables
+    return (_table_planes(tsl) + _table_planes(tas) + _table_planes(tal))
+
+
 def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                *, alias: bool = True, conj: bool = False, acc=None,
-               interpret: bool = False):
+               diag=None, interpret: bool = False):
     """One HBM pass applying lane-group operator ``E0`` and sublane-group
-    operator ``E1`` (either may be None = identity; both 128x128 complex)."""
+    operator ``E1`` (either may be None = identity; both 128x128 complex).
+    ``diag``: complex (tsl, tas, tal) tables of a fused diagonal run to
+    pre-multiply BEFORE the dual gates (same pass)."""
     eye = np.eye(128, dtype=np.float32)
     zr = np.zeros((128, 128), dtype=np.float32)
     e0r, e0i = op_planes(E0) if E0 is not None else (eye, zr)
@@ -252,6 +263,7 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
     return dual_group_apply_planes(xr, xi, e0r, e0i, e1r, e1i,
                                    dot_mode=config.kernel_dot_mode(),
                                    alias=alias, conj=conj, acc=acc,
+                                   diag_tables=_diag_table_planes(diag),
                                    interpret=interpret)
 
 

@@ -317,3 +317,99 @@ def test_apply_conj_acc_modes():
         got2 = np.asarray(yr2) + 1j * np.asarray(yi2)
         np.testing.assert_allclose(got2, want - np.asarray(acc0).reshape(shape),
                                    rtol=3e-5, atol=3e-5)
+
+
+def _rnd_tabs(rng, A):
+    def rnd(shape):
+        ph = np.exp(1j * rng.uniform(0, 2 * np.pi, shape))
+        return (ph * (1.0 + 0.1 * rng.standard_normal(shape))).astype(np.complex64)
+    return rnd((128, 128)), rnd((A, 128)), rnd((A, 128))
+
+
+def _tab_planes(ts):
+    out = []
+    for t in ts:
+        out.append(jnp.asarray(t.real.copy()))
+        out.append(jnp.asarray(t.imag.copy()))
+    return tuple(out)
+
+
+def test_dual_apply_with_fused_diag_run():
+    """Forward fold: y = Dual(D o x) in one kernel pass."""
+    from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
+
+    n = 16
+    A = 4
+    rng = np.random.default_rng(51)
+    psi = oracles.random_state(rng, n).astype(np.complex64).reshape(A, 128, 128)
+    el = oracles.random_unitary(rng, 7).astype(np.complex64)
+    em = oracles.random_unitary(rng, 7).astype(np.complex64)
+    tsl, tas, tal = _rnd_tabs(rng, A)
+    D = tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]
+
+    want = np.einsum("xy,ayc->axc", em,
+                     np.einsum("amy,xy->amx", psi * D, el))
+    yr, yi = dual_group_apply_planes(
+        jnp.asarray(psi.real), jnp.asarray(psi.imag),
+        jnp.asarray(el.real), jnp.asarray(el.imag),
+        jnp.asarray(em.real), jnp.asarray(em.imag),
+        a_blk=2, diag_tables=_tab_planes((tsl, tas, tal)), interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("diag_q", [False, True])
+def test_block_backward_dual_with_fused_diag(diag_q):
+    """Backward fold: reverse the dual pair, then roll (fwd, bwd) through
+    the preceding diagonal run with Q reductions — one kernel pass."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_dual
+
+    n = 16
+    A = 4
+    rng = np.random.default_rng(52)
+    fwd = oracles.random_state(rng, n).astype(np.complex64).reshape(A, 128, 128)
+    bwd = oracles.random_state(rng, n).astype(np.complex64).reshape(A, 128, 128)
+    E0 = oracles.random_unitary(rng, 7).astype(np.complex64)
+    E1 = oracles.random_unitary(rng, 7).astype(np.complex64)
+    E0inv = np.linalg.inv(E0).astype(np.complex64)
+    E1inv = np.linalg.inv(E1).astype(np.complex64)
+    tsl, tas, tal = _rnd_tabs(rng, A)
+    D = tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]
+
+    # sequential oracle, tape order [diag, lane, sublane] reversed:
+    f1 = np.einsum("xy,ayc->axc", E1inv, fwd)       # sublane uncompute
+    t0s = np.einsum("axc,ayc->xy", bwd, f1)
+    b1 = np.einsum("xy,ayc->axc", E1.T, bwd)
+    f0 = np.einsum("amy,xy->amx", f1, E0inv)        # lane uncompute
+    t0l = np.einsum("amx,amy->xy", b1, f0)
+    b0 = np.einsum("amy,xy->amx", b1, E0.T)         # lane transport E0^T
+    Q = b0 * f0
+    f_fin = f0 / D
+    b_fin = b0 * D
+
+    def sp(m):
+        return jnp.asarray(m.real.copy()), jnp.asarray(m.imag.copy())
+
+    out = block_backward_dual(
+        jnp.asarray(fwd.real), jnp.asarray(fwd.imag),
+        jnp.asarray(bwd.real), jnp.asarray(bwd.imag),
+        *sp(E0inv), *sp(E0), *sp(E1inv), *sp(E1),
+        g0_first=True, a_blk=2,
+        diag_inv_tables=_tab_planes((1 / tsl, 1 / tas, 1 / tal)),
+        diag_tables=_tab_planes((tsl, tas, tal)),
+        diag_q=diag_q, interpret=True)
+    got_f = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    got_b = np.asarray(out[2]) + 1j * np.asarray(out[3])
+    got_t0l = np.asarray(out[4]) + 1j * np.asarray(out[5])
+    got_t0s = np.asarray(out[6]) + 1j * np.asarray(out[7])
+    np.testing.assert_allclose(got_f, f_fin, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_b, b_fin, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_t0l, t0l, rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(got_t0s, t0s, rtol=2e-4, atol=5e-3)
+    if diag_q:
+        np.testing.assert_allclose(np.asarray(out[8]) + 1j * np.asarray(out[9]),
+                                   Q.sum(axis=0), rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out[10]) + 1j * np.asarray(out[11]),
+                                   Q.sum(axis=2), rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out[12]) + 1j * np.asarray(out[13]),
+                                   Q.sum(axis=1), rtol=1e-3, atol=1e-2)
