@@ -289,3 +289,85 @@ def test_merged_and_acc_modes_on_hardware():
     assert e_apply < 3e-3, e_apply
     assert e_gram < 1e-4, e_gram
     assert e_acc < 3e-3, e_acc
+
+
+@skip_no_tpu
+def test_ddual_fused_kernels_on_hardware():
+    """The diag-into-dual fused kernels compiled on the chip (Mosaic
+    constraints differ from interpret mode: the (a_blk, 128) table blocks
+    need a sublane dim divisible by 8). One jitted program, scalar fetches."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_dual
+    from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
+
+    rng = np.random.default_rng(9)
+    A = 16
+    E0 = rand_op(rng)
+    E1 = rand_op(rng)
+    E0inv = np.linalg.inv(E0).astype(np.complex64)
+    E1inv = np.linalg.inv(E1).astype(np.complex64)
+
+    def rnd(shape):
+        ph = np.exp(1j * rng.uniform(0, 2 * np.pi, shape))
+        return (ph * (1.0 + 0.1 * rng.standard_normal(shape))).astype(np.complex64)
+
+    tsl, tas, tal = rnd((128, 128)), rnd((A, 128)), rnd((A, 128))
+
+    def tabs(ts):
+        out = []
+        for t in ts:
+            out.append(jnp.asarray(t.real.copy()))
+            out.append(jnp.asarray(t.imag.copy()))
+        return tuple(out)
+
+    def sp(mm):
+        return jnp.asarray(mm.real.copy()), jnp.asarray(mm.imag.copy())
+
+    cpx = jax.lax.complex
+
+    @jax.jit
+    def check():
+        xr, xi = _dev_planes(12, (A, 128, 128))
+        br, bi = _dev_planes(13, (A, 128, 128))
+        x = cpx(xr, xi)
+        b = cpx(br, bi)
+
+        def dev_c(t):
+            return cpx(jnp.asarray(t.real.copy()), jnp.asarray(t.imag.copy()))
+
+        D = dev_c(tas)[:, :, None] * dev_c(tal)[:, None, :] \
+            * dev_c(tsl)[None, :, :]
+        E0d, E1d = dev_c(E0), dev_c(E1)
+        E0invd, E1invd = dev_c(E0inv), dev_c(E1inv)
+
+        HI = jax.lax.Precision.HIGHEST  # TPU einsum default is bf16
+
+        # forward: y = E1 @ (D*x) @ E0^T (lane then sublane)
+        want_f = jnp.einsum("xy,ayc->axc", E1d,
+                            jnp.einsum("amy,xy->amx", x * D, E0d,
+                                       precision=HI), precision=HI)
+        yr, yi = dual_group_apply_planes(
+            xr, xi, *sp(E0), *sp(E1), a_blk=8,
+            diag_tables=tabs((tsl, tas, tal)))
+        e_fwd = jnp.max(jnp.abs(cpx(yr, yi) - want_f))
+
+        # backward with fused diag + Q
+        f1 = jnp.einsum("xy,ayc->axc", E1invd, x, precision=HI)
+        b1 = jnp.einsum("xy,ayc->axc", E1d.T, b, precision=HI)
+        f0 = jnp.einsum("amy,xy->amx", f1, E0invd, precision=HI)
+        b0 = jnp.einsum("amy,xy->amx", b1, E0d.T, precision=HI)
+        Q = b0 * f0
+        out = block_backward_dual(
+            xr, xi, br, bi, *sp(E0inv), *sp(E0), *sp(E1inv), *sp(E1),
+            g0_first=True, a_blk=8,
+            diag_inv_tables=tabs((1 / tsl, 1 / tas, 1 / tal)),
+            diag_tables=tabs((tsl, tas, tal)), diag_q=True)
+        e_f = jnp.max(jnp.abs(cpx(out[0], out[1]) - f0 / D))
+        e_b = jnp.max(jnp.abs(cpx(out[2], out[3]) - b0 * D))
+        e_q = jnp.max(jnp.abs(cpx(out[8], out[9]) - Q.sum(axis=0)))
+        return e_fwd, e_f, e_b, e_q
+
+    e_fwd, e_f, e_b, e_q = (float(e) for e in check())
+    assert e_fwd < 5e-3, e_fwd
+    assert e_f < 5e-3, e_f
+    assert e_b < 5e-3, e_b
+    assert e_q < 5e-2, e_q
