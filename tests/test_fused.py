@@ -239,6 +239,7 @@ def test_generic_diag_spanning_three_groups():
 @pytest.mark.parametrize("seed", [0, 1,
     pytest.param(2, marks=pytest.mark.slow),
     pytest.param(3, marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_random_circuit_property(seed):
     """Property test: random tapes (random kinds, positions, queue mix) give
     identical values and gradients on the fused and per-gate paths."""

@@ -101,7 +101,8 @@ def test_forward_parity(n):
                                rtol=0, atol=5e-6)
 
 
-@pytest.mark.parametrize("n,nonu", [(14, False), (15, True), (16, False)])
+@pytest.mark.parametrize("n,nonu", [(14, False), (15, True),
+                                    pytest.param(16, False, marks=pytest.mark.slow)])
 def test_gradient_parity(n, nonu):
     """value_and_grad through scan + epilogue densities: plane vs XLA engines
     agree on the loss and every var-gate cotangent (incl. non-unitary
@@ -492,6 +493,7 @@ def test_build_dispatches_plane_engine(plane_mode):
                                    rtol=3e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_vmap_over_plane_engine(plane_mode):
     """The plane engine composes with vmap (Pallas batching): batched
     parameters through the public build() path."""
@@ -571,6 +573,7 @@ def test_plane_tape_edge_cases(plane_mode):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_vqe_model_std_path_parity(plane_mode):
     """VQE-Ising (const Hadamard prologue + layers + epilogue) through the
     fully plane-resident standard-state op vs the XLA path — the 29q memory
@@ -595,7 +598,8 @@ def test_vqe_model_std_path_parity(plane_mode):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("n", [15, pytest.param(16, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n", [pytest.param(15, marks=pytest.mark.slow),
+                               pytest.param(16, marks=pytest.mark.slow)])
 def test_dense_cross_model_parity(plane_mode, n):
     """CNOT-entangled hardware-efficient ansatz: the ring's group-boundary
     CNOTs are DENSE cross-group gates, executed in the plane engine as
@@ -862,6 +866,7 @@ def test_xcross_and_cross_density_parity(plane_mode):
                                    rtol=3e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_vqe_epilogue_cross_density_plane_parity(plane_mode):
     """VQE-Ising's real epilogue (q2 densities on the ring incl. the
     group-boundary and closure pairs) through the plane std op — the

@@ -203,6 +203,7 @@ def _stride_positions(n, k=8):
 
 
 @pytest.mark.parametrize("n", [20, pytest.param(22, marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_large_sharded_value_and_grad(mesh8, n):
     """20q/22q (odd top-group split at 22: sizes 7,7,7,1) mixed circuit:
     distributed value_and_grad == single-device, c64."""
