@@ -90,13 +90,12 @@ def fuse_tape(tape: Tape, use_native: bool = None) -> FusedTape:
     if use_native is None:
         use_native = os.environ.get("DQC_USE_NATIVE", "1") != "0"
     if use_native:
-        try:
-            from dqc_tpu import native
-            out = native.fuse_tape_native(tape, GROUP_BITS)
-            if out is not None:
-                return out
-        except Exception:
-            pass
+        from dqc_tpu import native
+        out = native.try_fuse_tape(tape, GROUP_BITS)
+        if out is not None:
+            return out
+        # None: library absent / tape uses k>4 gates (silent), or a planner
+        # error (try_fuse_tape warned once) — the Python path is authoritative
     return _fuse_tape_py(tape)
 
 

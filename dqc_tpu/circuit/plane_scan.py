@@ -263,13 +263,14 @@ def _pair_top_groups(items: Tuple[Tuple, ...], ftape: FusedTape):
 def _split_diag_run(run) -> List[Tuple]:
     """A pending diagonal stretch -> ('diag', idxs) kernel runs with
     ('mdiag', i) broadcast items interleaved (order within the stretch is
-    free: diagonals commute)."""
+    free: diagonals commute). The mdiag items come FIRST so the fused
+    ('diag', ...) run stays adjacent to a following minor dense sweep and
+    keeps the ddual fold (_pair_diag_into_dual)."""
     plain = tuple(i for i in run if not isinstance(i, tuple))
-    items: List[Tuple] = []
+    items: List[Tuple] = [("mdiag", i) for kind, i in
+                          (x for x in run if isinstance(x, tuple))]
     if plain:
         items.append(("diag", plain))
-    items.extend(("mdiag", i) for kind, i in
-                 (x for x in run if isinstance(x, tuple)))
     return items
 
 
@@ -480,7 +481,8 @@ def _diag_cts_from_Q(run, ftape: FusedTape, var_gates, const_gates, Q,
             var_cts[fi.queue_idx] = vjp(W2)[0]
 
 
-def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
+def estimate_hbm_passes(ftape: FusedTape,
+                        const_gates=None) -> Tuple[float, float]:
     """(forward, backward) full-state HBM passes per layer under the plane
     engine — one pass = read+write of the full state's bytes. Used by
     bench.py to report *achieved* bandwidth (as opposed to the per-gate-sweep
@@ -489,9 +491,10 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
     Exact for dense/diag kernel items: every dual/high/hpair sweep or fused
     diagonal run is 1 aliased pass forward; its adjoint reads and writes
     BOTH the fwd and bwd planes in one kernel = 2 passes. Dense cross-group
-    items are an upper bound — 2 passes per decomposition term, where the
-    term count uses the positions-derived 4^ka bound (concrete gates prune
-    zero-weight terms at execution, e.g. 2 terms for CNOT).
+    items count 2 passes per decomposition term: with ``const_gates`` the
+    term count is the EXECUTED one (``_dense_cross_expanded_terms`` prunes
+    zero-weight terms for concrete gates — 2 for CNOT, not 4); var/traced
+    gates use the positions-derived 4^ka bound.
     """
     program = plane_program(ftape)
     n = ftape.n
@@ -501,11 +504,19 @@ def estimate_hbm_passes(ftape: FusedTape) -> Tuple[float, float]:
             continue
         if item[0] == "dcross":
             fi = ftape.instructions[item[1]]
-            by_group: Dict[int, int] = {}
-            for p in fi.positions:
-                g = gr.group_of_bit(n, p)[0]
-                by_group[g] = by_group.get(g, 0) + 1
-            terms = 4 ** min(by_group.values())
+            terms = None
+            if const_gates is not None and not fi.var:
+                try:
+                    m = _cross_dense_gate(fi, (), tuple(const_gates))
+                    terms = len(_dense_cross_expanded_terms(m, fi.positions, n))
+                except Exception:
+                    terms = None
+            if terms is None:
+                by_group: Dict[int, int] = {}
+                for p in fi.positions:
+                    g = gr.group_of_bit(n, p)[0]
+                    by_group[g] = by_group.get(g, 0) + 1
+                terms = 4 ** min(by_group.values())
             fwd += 2.0 * terms
             bwd += 4.0 * terms + 1.0  # uncompute + transport + pair-grad
         elif item[0] == "xcross":

@@ -19,9 +19,38 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_WARNED = False
 
 TAPE_W = 9
 _KIND_CODE = {"gate": 0, "diag": 1, "density": 2}
+
+NATIVE_MAX_K = 4  # widest gate the planner ABI row format encodes
+
+
+def warn_fallback(where: str, why) -> None:
+    """One warning per process when the native planner errors and the
+    Python planner silently takes over — a planner bug or ABI drift must
+    not degrade invisibly (the reference hard-errors instead,
+    circuit.rs:209-210)."""
+    global _WARNED
+    if _WARNED:
+        return
+    _WARNED = True
+    import warnings
+
+    warnings.warn(
+        f"native planner failed in {where} ({why}); using the Python "
+        "planner for the rest of this process (set DQC_USE_NATIVE=0 to "
+        "silence, or rebuild native/libdqc_planner.so)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def tape_supported(tape) -> bool:
+    """True when every instruction fits the planner's wire format (k <= 4);
+    wider gates skip the native path without warning (expected limit)."""
+    return all(inst.k <= NATIVE_MAX_K for inst in tape.instructions)
 
 
 def _find_library():
@@ -56,13 +85,15 @@ def bind(path: str) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.dqc_planner_version.restype = ctypes.c_int32
-    if lib.dqc_planner_version() != 2:
+    if lib.dqc_planner_version() != 3:
         raise OSError(f"planner ABI version mismatch in {path}")
     return lib
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """The native library, or None (cached)."""
+    """The native library, or None (cached). A library file that EXISTS but
+    fails to bind (corrupt .so, ABI drift) warns once — that is an error
+    condition, not a normal absence."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
@@ -72,7 +103,8 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     try:
         _LIB = bind(path)
-    except OSError:
+    except OSError as e:
+        warn_fallback("load", e)
         _LIB = None
     return _LIB
 
@@ -115,6 +147,8 @@ def fuse_tape_native(tape, group_bits: int):
     ln = lib.dqc_fuse_tape(_int_ptr(enc), len(tape.instructions), tape.n,
                            group_bits, _int_ptr(out), cap)
     if ln < 0:
+        if ln != -2:  # -2 = invalid input: the Python path raises properly
+            warn_fallback("fuse_tape", f"planner error code {ln}")
         return None
     stream = out[:ln]
     instrs: List[object] = []
@@ -143,6 +177,7 @@ def fuse_tape_native(tape, group_bits: int):
             instrs.append(FDensity(pos, bool(diff)))
             i += 7
         else:
+            warn_fallback("fuse_tape", f"unknown stream tag {tag}")
             return None
 
     var_shapes = []
@@ -177,6 +212,8 @@ def plan_distribution_native(tape, k: int):
     ln = lib.dqc_plan_distribution(_int_ptr(enc), len(tape.instructions), tape.n,
                                    k, _int_ptr(out), cap, _int_ptr(final_phys))
     if ln < 0:
+        if ln != -2:  # -2 = invalid input: the Python path raises properly
+            warn_fallback("plan_distribution", f"planner error code {ln}")
         return None
     stream = out[:ln]
     instrs: List[object] = []
@@ -208,9 +245,36 @@ def plan_distribution_native(tape, k: int):
             nd += 1
             i += 8
         else:
+            warn_fallback("plan_distribution", f"unknown stream tag {tag}")
             return None
     return DistProgram(
         n=tape.n, k=k, instructions=tuple(instrs),
         num_var_gates=nv, num_const_gates=nc, num_densities=nd,
         diff_flags=tuple(diff_flags), final_phys=tuple(int(x) for x in final_phys),
     )
+
+
+def try_fuse_tape(tape, group_bits: int):
+    """fuse_tape_native with the fallback policy applied: None (silently)
+    when the library is absent or the tape uses gates wider than the wire
+    format; None WITH a once-per-process warning on a genuine planner
+    error (the Python planner then takes over)."""
+    if not tape_supported(tape) or load() is None:
+        return None
+    try:
+        return fuse_tape_native(tape, group_bits)
+    except Exception as e:  # ctypes faults, decode bugs: warn, fall back
+        warn_fallback("fuse_tape", e)
+        return None
+
+
+def try_plan_distribution(tape, k: int):
+    """plan_distribution_native with the same fallback policy as
+    :func:`try_fuse_tape`."""
+    if not tape_supported(tape) or load() is None:
+        return None
+    try:
+        return plan_distribution_native(tape, k)
+    except Exception as e:
+        warn_fallback("plan_distribution", e)
+        return None

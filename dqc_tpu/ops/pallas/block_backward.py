@@ -223,6 +223,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
                  s_inv1, s_inv2, s_inv3,   # sublane E1^-1 (left-mult)
                  s_e1, s_e2, s_e3,         # sublane E1^T (left-mult)
                  *rest):
+    """Adjoint step for a lane-group AND a sublane-group block in ONE read of
+    the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
+    the sublane block in tape order (then the sublane block is uncomputed
+    first)."""
     if has_diag:
         (isl_r, isl_i, ias_r, ias_i, ial_r, ial_i,
          tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:12], rest[12:]
@@ -234,10 +238,6 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
     else:
         (fir_ref, fii_ref, bnr_ref, bni_ref,
          t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref) = rest
-    """Adjoint step for a lane-group AND a sublane-group block in ONE read of
-    the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
-    the sublane block in tape order (then the sublane block is uncomputed
-    first)."""
     dot = make_dot(dot_mode)
 
     t0l_r = jnp.zeros((128, 128), F32)

@@ -68,12 +68,23 @@ class DistProgram:
         return -1
 
 
-def _next_use(tape: Tape, start: int, logical: int) -> int:
-    """Instruction index of the next use of a logical qubit (inf if none)."""
-    for i in range(start, len(tape.instructions)):
-        if logical in tape.instructions[i].positions:
-            return i
-    return 1 << 30
+_NO_USE = 1 << 30
+
+
+def _next_use_table(tape: Tape):
+    """``nxt[i, q]`` = index of the first instruction at-or-after ``i``
+    touching logical qubit ``q`` (``_NO_USE`` if none), built in ONE reverse
+    sweep — O(T*n) instead of the O(T^2) per-query scan (each Belady
+    eviction used to rescan the tape tail per candidate)."""
+    import numpy as np
+
+    T = len(tape.instructions)
+    nxt = np.full((T + 1, tape.n), _NO_USE, dtype=np.int64)
+    for i in range(T - 1, -1, -1):
+        nxt[i] = nxt[i + 1]
+        for q in tape.instructions[i].positions:
+            nxt[i, q] = i
+    return nxt
 
 
 def plan_distribution(tape: Tape, k: int, use_native: bool = None) -> DistProgram:
@@ -84,13 +95,12 @@ def plan_distribution(tape: Tape, k: int, use_native: bool = None) -> DistProgra
     if use_native is None:
         use_native = os.environ.get("DQC_USE_NATIVE", "1") != "0"
     if use_native:
-        try:
-            from dqc_tpu import native
-            out = native.plan_distribution_native(tape, k)
-            if out is not None:
-                return out
-        except Exception:
-            pass
+        from dqc_tpu import native
+        out = native.try_plan_distribution(tape, k)
+        if out is not None:
+            return out
+        # None: library absent / k>4 gates (silent), or a planner error
+        # (try_plan_distribution warned once) — Python path takes over
     return _plan_distribution_py(tape, k)
 
 
@@ -109,6 +119,7 @@ def _plan_distribution_py(tape: Tape, k: int) -> DistProgram:
     prog: List[object] = []
     var_idx = const_idx = dens_idx = 0
     diff_flags: List[bool] = []
+    nxt = _next_use_table(tape)
 
     for idx, inst in enumerate(tape.instructions):
         needs = inst.positions
@@ -122,7 +133,7 @@ def _plan_distribution_py(tape: Tape, k: int) -> DistProgram:
             # Belady: evict local slots whose logical qubits are needed last
             logical_at = {p: q for q, p in enumerate(phys) if p < m}
             candidates = [p for p in range(m) if p not in protected]
-            candidates.sort(key=lambda p: _next_use(tape, idx, logical_at[p]), reverse=True)
+            candidates.sort(key=lambda p: int(nxt[idx, logical_at[p]]), reverse=True)
             slots = sorted(candidates[:k], reverse=True)  # msb-first, deterministic
             prog.append(DSwap(tuple(slots)))
             # slot msb-first: local_positions[k-1-j] <-> device bit j (slot m+j)

@@ -2,11 +2,12 @@
 
 The distributed engine (parallel/scan.py) runs each fused segment on the
 local ``m = n-k`` qubit shard; when the shard itself is plane-eligible
-(m >= 14, complex64, no dense cross-group segments) the segment executors of
-the single-chip plane engine (circuit/plane_scan.py) run unchanged on the
-local planes — same per-shard kernel throughput as single-chip — and the
-qubit-permutation all-to-all rides ICI as two f32 exchanges (identical total
-bytes to one complex exchange).
+(m >= 14, complex64 — every instruction kind executes on planes, including
+dense cross-group segments) the segment executors of the single-chip plane
+engine (circuit/plane_scan.py) run unchanged on the local planes — same
+per-shard kernel throughput as single-chip — and the qubit-permutation
+all-to-all rides ICI as two f32 exchanges (identical total bytes to one
+complex exchange).
 
 This is the pod-slice story for the BASELINE 34-qubit target: 34 qubits over
 2^7 devices = 27 local qubits/shard, where the dual/high kernels were
@@ -182,8 +183,17 @@ def _epi_density(gram_cache, xr, xi, positions, m: int, axis: str):
         j = groups.pop()
         G = gram_cache.get(j)
         if G is None:
-            G = jax.lax.psum(ps._plane_gram(xr, xi, j, m), axis)
-            gram_cache[j] = G
+            njg = len(gr.group_dims(m))
+            if pl.merged_top_tiny(m) and j in (njg - 1, njg - 2):
+                # ONE merged kernel read serves BOTH top groups (the
+                # single-chip _gram_for optimization), psummed per group
+                G_low, G_top = pl.gram_merged_top(xr, xi, m,
+                                                  interpret=ps._interpret())
+                gram_cache[njg - 2] = jax.lax.psum(G_low, axis)
+                gram_cache[njg - 1] = jax.lax.psum(G_top, axis)
+            else:
+                gram_cache[j] = jax.lax.psum(ps._plane_gram(xr, xi, j, m), axis)
+            G = gram_cache[j]
         rels = tuple(p % gr.GROUP_BITS for p in positions)
         return gr.density_from_gram(G, rels, sizes[j])
     return jax.lax.psum(ps._cross_density(xr, xi, positions, m), axis)

@@ -54,12 +54,15 @@ struct GateRef {
 
 }  // namespace
 
-extern "C" int32_t dqc_planner_version(void) { return 2; }
+// Error codes: -1 = planner failure (capacity overflow / internal bug,
+// callers warn); -2 = invalid INPUT (callers fall back silently so the
+// Python reference implementation raises its actionable error).
+extern "C" int32_t dqc_planner_version(void) { return 3; }
 
 extern "C" int32_t dqc_fuse_tape(const int32_t* tape, int32_t num_instr,
                                  int32_t n_qubits, int32_t group_bits,
                                  int32_t* out, int32_t out_cap) {
-  if (group_bits <= 0 || n_qubits <= 0) return -1;
+  if (group_bits <= 0 || n_qubits <= 0) return -2;
   auto instrs = decode(tape, num_instr);
   Writer w(out, out_cap);
 
@@ -152,20 +155,26 @@ extern "C" int32_t dqc_plan_distribution(const int32_t* tape, int32_t num_instr,
                                          int32_t* final_phys) {
   auto instrs = decode(tape, num_instr);
   const int32_t m = n_qubits - k;
-  if (m < k) return -1;
+  if (m < k) return -2;
   Writer w(out, out_cap);
 
   std::vector<int32_t> phys(n_qubits);
   for (int32_t q = 0; q < n_qubits; ++q) phys[q] = q;
 
-  // next_use[i][q] is expensive to precompute fully; do lazy scan like Python
+  // next_use table in ONE reverse sweep: nxt[i * n + q] = first instruction
+  // at-or-after i touching logical qubit q (O(T*n), mirrors layout.py's
+  // _next_use_table; the old per-query tail scan was O(T^2) on deep tapes)
+  constexpr int64_t kNoUse = int64_t{1} << 40;
+  std::vector<int64_t> nxt(static_cast<size_t>(num_instr + 1) * n_qubits,
+                           kNoUse);
+  for (int32_t i = num_instr - 1; i >= 0; --i) {
+    int64_t* row = nxt.data() + static_cast<size_t>(i) * n_qubits;
+    const int64_t* next_row = row + n_qubits;
+    std::copy(next_row, next_row + n_qubits, row);
+    for (int32_t b = 0; b < instrs[i].k; ++b) row[instrs[i].pos[b]] = i;
+  }
   auto next_use = [&](int32_t start, int32_t logical) -> int64_t {
-    for (int32_t i = start; i < num_instr; ++i) {
-      for (int32_t b = 0; b < instrs[i].k; ++b) {
-        if (instrs[i].pos[b] == logical) return i;
-      }
-    }
-    return int64_t{1} << 40;
+    return nxt[static_cast<size_t>(start) * n_qubits + logical];
   };
 
   int32_t var_idx = 0, const_idx = 0, dens_idx = 0;
@@ -182,7 +191,7 @@ extern "C" int32_t dqc_plan_distribution(const int32_t* tape, int32_t num_instr,
         int32_t p = phys[in.pos[b]];
         if (p < m && !protectd[p]) { protectd[p] = true; ++nprot; }
       }
-      if (m - nprot < k) return -1;
+      if (m - nprot < k) return -2;
       std::vector<int32_t> logical_at(m, -1);
       for (int32_t q = 0; q < n_qubits; ++q) {
         if (phys[q] < m) logical_at[phys[q]] = q;

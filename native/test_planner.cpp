@@ -38,7 +38,7 @@ static std::vector<int32_t> flatten(const std::vector<Row>& rows) {
   return t;
 }
 
-static void test_version() { CHECK(dqc_planner_version() == 2); }
+static void test_version() { CHECK(dqc_planner_version() == 3); }
 
 /* Two 1q gates in group 0 + one in group 1 fuse into two blocks; a density
  * flushes everything. */
@@ -121,7 +121,7 @@ static void test_fuse_capacity_error() {
   std::vector<Row> rows = {{0, 0, 1, 0, 1, 0, -1, -1, -1}};
   auto tape = flatten(rows);
   int32_t out[4];
-  CHECK(dqc_fuse_tape(tape.data(), 1, 4, 7, out, 4) == -1);
+  CHECK(dqc_fuse_tape(tape.data(), 1, 4, 7, out, 4) == -1);  // capacity overflow -> -1
 }
 
 /* Distribution: gates on local qubits need no swaps; a gate on a global
@@ -159,7 +159,7 @@ static void test_plan_distribution_error() {
   auto tape = flatten(rows);
   int32_t out[64];
   int32_t final_phys[4];
-  CHECK(dqc_plan_distribution(tape.data(), 1, 4, 3, out, 64, final_phys) == -1);
+  CHECK(dqc_plan_distribution(tape.data(), 1, 4, 3, out, 64, final_phys) == -2);  // invalid input (m < k) -> -2
 }
 
 int main() {

@@ -235,11 +235,12 @@ def test_generic_diag_spanning_three_groups():
                                rtol=1e-9, atol=1e-11)
 
 
-# seeds 2-3 draw the deepest random tapes (~30-45 s each): slow-marked
-@pytest.mark.parametrize("seed", [0, 1,
+# seed 0 runs in the default suite (the broadest cross-engine property
+# check); seeds 1-3 draw deeper random tapes (~30-45 s each): slow-marked
+@pytest.mark.parametrize("seed", [0,
+    pytest.param(1, marks=pytest.mark.slow),
     pytest.param(2, marks=pytest.mark.slow),
     pytest.param(3, marks=pytest.mark.slow)])
-@pytest.mark.slow
 def test_random_circuit_property(seed):
     """Property test: random tapes (random kinds, positions, queue mix) give
     identical values and gradients on the fused and per-gate paths."""

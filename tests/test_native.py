@@ -1,7 +1,9 @@
 """Native planner parity: the C++ tape compiler must produce byte-identical
 programs to the Python reference implementations."""
 
+import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -99,3 +101,56 @@ def test_native_unit_tests_build_and_pass(tmp_path):
     assert r.returncode == 0, r.stderr
     r = subprocess.run([str(exe)], capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_corrupt_library_warns_and_falls_back(tmp_path):
+    """A library file that exists but cannot bind (corrupted .so) must warn
+    ONCE and fall back to the Python planner — never degrade silently
+    (VERDICT round-2: fusion.py's old blanket except swallowed planner
+    errors)."""
+    bad = tmp_path / "libdqc_planner.so"
+    bad.write_bytes(b"\x7fELF not really a library")
+    code = (
+        "import warnings, os\n"
+        "from dqc_tpu.circuit.builder import AutoGradCircuit\n"
+        "from dqc_tpu.circuit.fusion import fuse_tape, _fuse_tape_py\n"
+        "c = AutoGradCircuit(4)\n"
+        "c.add_q1_var_gate(0); c.add_q2_const_gate(1, 2)\n"
+        "c.get_q1_dens_op_with_grad(0)\n"
+        "with warnings.catch_warnings(record=True) as rec:\n"
+        "    warnings.simplefilter('always')\n"
+        "    out = fuse_tape(c.tape)\n"
+        "    out2 = fuse_tape(c.tape)\n"
+        "msgs = [str(w.message) for w in rec\n"
+        "        if issubclass(w.category, RuntimeWarning)\n"
+        "        and 'native planner' in str(w.message)]\n"
+        "assert len(msgs) == 1, msgs  # once per process, not per call\n"
+        "assert out == _fuse_tape_py(c.tape)\n"
+        "assert out2 == out\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ, DQC_PLANNER_LIB=str(bad), JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
+
+
+def test_wide_gate_skips_native_silently():
+    """Gates wider than the planner wire format (k > 4) must skip the native
+    path with NO warning (an expected limit, not an error) and compile
+    through the Python planner."""
+    import warnings
+
+    from dqc_tpu.circuit.builder import AutoGradCircuit
+    from dqc_tpu.circuit.fusion import _fuse_tape_py, fuse_tape
+
+    c = AutoGradCircuit(7)
+    c.add_gate((0, 1, 2, 3, 4), var=False)  # 5-qubit gate: k > NATIVE_MAX_K
+    c.get_q1_dens_op_with_grad(0)
+    assert not native.tape_supported(c.tape)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = fuse_tape(c.tape)
+    assert out == _fuse_tape_py(c.tape)
+    assert not [w for w in rec if "native planner" in str(w.message)]
