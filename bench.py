@@ -3,16 +3,26 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (BASELINE.md targets): value_and_grad of a deep hardware-efficient
-ansatz at the largest qubit count that fits HBM (tries 28, backs off on OOM).
-The O(1)-memory adjoint executes ~1 sweep/gate forward and ~3 sweeps/var-gate
-backward (uncompute + gradient contraction + cotangent transport), each sweep
-streaming the full 2^n statevector through HBM.
+Workload (BASELINE.md targets: "depth-100", "measured at 30 qubits"):
+value_and_grad of a DEPTH-100 hardware-efficient ansatz at the largest
+qubit count that fits HBM in exact-f32 state storage (tries 29, backs off
+on OOM) — layer-scan mode makes depth free to compile. A second,
+non-headline run measures 30 qubits under the opt-in "mixed" state-storage
+mode (forward planes f32 → value exact; cotangent planes bf16 → the
+adjoint's second statevector halves, 8+4 GB fits a 16 GB chip; gradient
+error = bf16 rounding, pinned by tests/test_state_storage.py). The
+reference has the same two-f32-statevector floor (circuit.rs:266-429,
+README.md:17) and therefore cannot reach 30q on a 16 GB part at all.
 
-``vs_baseline`` = fraction of per-sweep HBM speed-of-light (read+write 8-byte
-complex64 per amplitude per sweep) achieved — the reference publishes no
-numbers (BASELINE.md: "published: {}"), so speed-of-light is the bar; the
-derived target is 0.8.
+``vs_baseline`` = fraction of per-sweep HBM speed-of-light (read+write
+8-byte complex64 per amplitude per gate-sweep) achieved — the reference
+publishes no numbers (BASELINE.md: "published: {}"), so speed-of-light is
+the bar; the derived target is 0.8. The reference's per-gate architecture
+moves 16 B/amplitude/gate unconditionally (primitives.cu:534-545), so
+vs_baseline > 1 means beating it architecturally. ``achieved_*`` reports
+the bandwidth of the passes ACTUALLY executed, cross-checked against
+XLA's compiler-accounted bytes (``cost_analysis``), not just the engine's
+own schedule estimate.
 """
 
 import json
@@ -23,74 +33,118 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the 29q program takes minutes to compile
+# through a remote-compile tunnel; the second bench invocation loads from
+# cache in seconds. Location overridable for read-only checkouts.
+_CACHE_DIR = os.environ.get("DQC_COMPILE_CACHE", "/tmp/dqc_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception as e:  # older jax without the flag: run uncached
+    print(f"# compile cache unavailable: {e}", file=sys.stderr)
 
 HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
-# 29q is the single-chip ceiling: the O(1)-memory adjoint keeps two 4 GB
-# states live (plane pairs), and 30q would need 2 x 8 GB > 15.75 GB HBM.
-# 29q fwd+grad compiles and runs since the round-2 memory diet
-# (plane_std_scan_densities + merged-axis kernels + in-kernel seeds).
+# 29q is the exact-f32 single-chip ceiling: the O(1)-memory adjoint keeps
+# two states live (plane pairs) and 30q f32 would need 2 x 8 GB > 15.75 GB
+# HBM. 30q runs under "mixed" storage (see module doc) as a separate line.
 QUBIT_TRIES = [int(q) for q in os.environ.get("DQC_BENCH_QUBITS", "29,28,26").split(",")]
-LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "8"))
-REPS = int(os.environ.get("DQC_BENCH_REPS", "2"))
+LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "100"))
+# one timed rep by default: at depth-100 a step is tens of seconds and
+# variance is negligible; the warmup step already validated stability
+REPS = int(os.environ.get("DQC_BENCH_REPS", "1"))
+TRY_30Q = os.environ.get("DQC_BENCH_30Q", "1") != "0"
 
 
-def run_bench(n_qubits: int, layers: int):
+def _fetch(v, g):
+    """Force true completion: on remote-tunnel backends block_until_ready
+    can return before execution finishes; a host fetch cannot."""
+    jax.block_until_ready(g)
+    return float(v)
+
+
+def _cost_bytes(step, params):
+    """XLA compiler-accounted bytes for one step: every pallas kernel is a
+    custom call whose operand+result bytes are exactly its HBM traffic, so
+    this measures the executed passes independently of the engine's own
+    schedule model. Returns None when the backend can't report it."""
+    try:
+        compiled = step.lower(params).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        b = ca.get("bytes accessed")
+        return float(b) if b else None
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {str(e)[:120]}",
+              file=sys.stderr)
+        return None
+
+
+def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
+    from dqc_tpu import config
     from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
-    model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz", scan=True)
-    params = model.init_params(jax.random.PRNGKey(0))
-    step = jax.jit(jax.value_and_grad(model.magnetization))
+    config.set_state_storage(storage)
+    try:
+        model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz", scan=True)
+        params = model.init_params(jax.random.PRNGKey(0))
+        step = jax.jit(jax.value_and_grad(model.magnetization))
 
-    def fetch(v, g):
-        # forces true completion: on remote-tunnel backends block_until_ready
-        # can return before execution finishes; a host fetch cannot
-        s = float(v)
-        s += float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(g)[0])))
-        return s
+        tc0 = time.time()
+        v, g = step(params)  # compile + warm up
+        _fetch(v, g)
+        compile_and_warm_s = time.time() - tc0
 
-    v, g = step(params)  # compile + warm up
-    fetch(v, g)
+        t0 = time.time()
+        for _ in range(REPS):
+            v, g = step(params)
+        _fetch(v, g)
+        dt = (time.time() - t0) / REPS
 
-    t0 = time.time()
-    for _ in range(REPS):
-        v, g = step(params)
-    fetch(v, g)
-    dt = (time.time() - t0) / REPS
+        if not bool(jnp.isfinite(v)):
+            raise RuntimeError("non-finite loss in benchmark")
 
-    if not bool(jnp.isfinite(v)):
-        raise RuntimeError("non-finite loss in benchmark")
+        # sweep accounting: forward = all gates once; backward = uncompute +
+        # cotangent transport for all gates + grad contraction per var gate
+        n_gates = model.num_gates
+        n_var = model.num_var_gates
+        sweeps = n_gates + 2 * n_gates + n_var
+        bytes_per_sweep = (1 << n_qubits) * 8 * 2  # read + write complex64
+        equiv_gbps = sweeps * bytes_per_sweep / dt / 1e9  # per-gate equivalent
 
-    # sweep accounting: forward = all gates once; backward = uncompute +
-    # cotangent transport for all gates + grad contraction per var gate
-    n_gates = model.num_gates
-    n_var = model.num_var_gates
-    sweeps = n_gates + 2 * n_gates + n_var
-    bytes_per_sweep = (1 << n_qubits) * 8 * 2  # read + write complex64
-    equiv_gbps = sweeps * bytes_per_sweep / dt / 1e9  # per-gate-sweep equivalent
+        # achieved bandwidth of the passes ACTUALLY executed: primary source
+        # is XLA's compiler-accounted bytes; the engine's schedule estimate
+        # is kept alongside as a cross-check
+        from dqc_tpu.circuit import plane_scan
 
-    # achieved bandwidth of the sweeps ACTUALLY executed (the fusion/plane
-    # engine does far fewer than one sweep per gate): estimated HBM passes
-    # per layer from the engine's own schedule
-    from dqc_tpu.circuit import plane_scan
-
-    engine = "plane" if plane_scan.use_plane_engine(
-        model._layer_ftape, model.dtype) else "xla"
-    fwd_p, bwd_p = plane_scan.estimate_hbm_passes(model._layer_ftape)
-    exec_passes = layers * (fwd_p + bwd_p) + 6  # +~6: epilogue/seed/convert
-    achieved_gbps = exec_passes * bytes_per_sweep / dt / 1e9
-    return {
-        "qubits": n_qubits,
-        "layers": layers,
-        "gates": n_gates,
-        "engine": engine,
-        "sec_per_grad_step": dt,
-        "gates_per_sec": n_gates / dt,
-        "equiv_GBps": equiv_gbps,
-        "sol_fraction": equiv_gbps / HBM_GBPS,
-        "executed_passes_est": exec_passes,
-        "achieved_GBps_est": achieved_gbps,
-        "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
-    }
+        engine = "plane" if plane_scan.use_plane_engine(
+            model._layer_ftape, model.dtype) else "xla"
+        fwd_p, bwd_p = plane_scan.estimate_hbm_passes(
+            model._layer_ftape, model._layer_consts)
+        exec_passes = layers * (fwd_p + bwd_p) + 6  # +~6: epilogue/seed/convert
+        achieved_gbps_est = exec_passes * bytes_per_sweep / dt / 1e9
+        xla_bytes = _cost_bytes(step, params)
+        achieved_gbps = (xla_bytes / dt / 1e9) if xla_bytes else achieved_gbps_est
+        return {
+            "qubits": n_qubits,
+            "layers": layers,
+            "gates": n_gates,
+            "engine": engine,
+            "state_storage": storage,
+            "sec_per_grad_step": dt,
+            "compile_and_warm_s": compile_and_warm_s,
+            "gates_per_sec": n_gates / dt,
+            "equiv_GBps": equiv_gbps,
+            "sol_fraction": equiv_gbps / HBM_GBPS,
+            "executed_passes_est": exec_passes,
+            "achieved_GBps_est": achieved_gbps_est,
+            "xla_bytes_accessed": xla_bytes,
+            "achieved_GBps": achieved_gbps,
+            "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
+            "achieved_source": "xla_cost_analysis" if xla_bytes else "schedule_estimate",
+        }
+    finally:
+        config.set_state_storage("f32")
 
 
 def main():
@@ -109,14 +163,25 @@ def main():
 
     print(json.dumps({
         "metric": f"gate applications/sec, fwd+grad of {result['qubits']}q x "
-                  f"{result['gates']}-gate hardware-efficient ansatz (O(1)-memory adjoint, "
-                  f"gate fusion + layer scan); vs_baseline = fraction of per-gate HBM "
-                  f"speed-of-light (>1 beats the reference's per-gate-sweep architecture)",
+                  f"{result['layers']}-layer/{result['gates']}-gate hardware-efficient "
+                  f"ansatz (O(1)-memory adjoint, gate fusion + layer scan, exact-f32 "
+                  f"state); vs_baseline = fraction of per-gate HBM speed-of-light "
+                  f"(>1 beats the reference's per-gate-sweep architecture)",
         "value": round(result["gates_per_sec"], 3),
         "unit": "gates/sec",
         "vs_baseline": round(result["sol_fraction"], 4),
     }))
     print(f"# detail: {json.dumps(result)}", file=sys.stderr)
+
+    if TRY_30Q and result["qubits"] < 30:
+        # BASELINE.md's "measured at 30 qubits": opt-in mixed storage fits
+        # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding)
+        try:
+            r30 = run_bench(30, LAYERS, storage="mixed")
+            print(f"# detail30: {json.dumps(r30)}", file=sys.stderr)
+        except Exception as e:
+            print(f"# 30q mixed-storage run failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -646,14 +646,17 @@ def _dense_cross_expanded_terms(gate_m, positions, n: int):
 
 
 def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp, *,
-                       conj: bool = False, acc0=None):
+                       conj: bool = False, acc0=None, out_dtype=None):
     """Per-group term accumulate sweeps; ``conj``/``acc0`` give the seed
-    form ``acc0 + conj(G x)`` (x read-only, one aliased accumulator)."""
+    form ``acc0 + conj(G x)`` (x read-only, one aliased accumulator).
+    ``out_dtype``: storage dtype of a FRESH accumulator (seed creation in
+    mixed-storage mode, where the cotangent planes store reduced)."""
     acc = acc0
     for EA, ja, EB, jb in _dense_cross_expanded_terms(gate_m, positions, n):
         tr, ti = pl.apply_block(xr, xi, EB, jb, n, alias=False,
                                 interpret=interp)
         acc = pl.apply_block(tr, ti, EA, ja, n, acc=acc, conj=conj,
+                             out_dtype=None if acc is not None else out_dtype,
                              interpret=interp)
     return acc
 
@@ -670,23 +673,25 @@ def _apply_xcross(xr, xi, gate_m, positions, n: int):
     mi = m.imag.astype(jnp.float32)
     Sr, restore_r = gr.subblocks_with_restore(xr.reshape(dims), positions, n)
     Si, restore_i = gr.subblocks_with_restore(xi.reshape(dims), positions, n)
+    Sr, Si = Sr.astype(jnp.float32), Si.astype(jnp.float32)
     prec = config.matmul_precision()
     t1 = jnp.matmul(mr + mi, Sr, precision=prec)
     t2 = jnp.matmul(mi, Sr + Si, precision=prec)
     t3 = jnp.matmul(mr, Si - Sr, precision=prec)
     Yr = t1 - t2
     Yi = t1 + t3
-    return (restore_r(Yr).reshape(xr.shape), restore_i(Yi).reshape(xi.shape))
+    return (restore_r(Yr).reshape(xr.shape).astype(xr.dtype),
+            restore_i(Yi).reshape(xi.shape).astype(xi.dtype))
 
 
 def _plane_pair_grad(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
     """Dense cross-gate cotangent ``W[p, q] = sum_b bwd[p, b] fwd[q, b]``
     on planes (groups.pair_grad in real pairs, reference primitives.cu:219)."""
     dims = gr.group_dims(n)
-    Fr = gr.subblocks(fxr.reshape(dims), positions, n)
-    Fi = gr.subblocks(fxi.reshape(dims), positions, n)
-    Br = gr.subblocks(bxr.reshape(dims), positions, n)
-    Bi = gr.subblocks(bxi.reshape(dims), positions, n)
+    Fr = gr.subblocks(fxr.reshape(dims), positions, n).astype(jnp.float32)
+    Fi = gr.subblocks(fxi.reshape(dims), positions, n).astype(jnp.float32)
+    Br = gr.subblocks(bxr.reshape(dims), positions, n).astype(jnp.float32)
+    Bi = gr.subblocks(bxi.reshape(dims), positions, n).astype(jnp.float32)
     prec = config.matmul_precision()
     t1 = jnp.matmul(Br + Bi, Fr.T, precision=prec)
     t2 = jnp.matmul(Bi, (Fr + Fi).T, precision=prec)
@@ -1111,7 +1116,8 @@ def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
         xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
         return (xr, xi), None
 
-    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
+    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n,
+                          config.fwd_plane_dtype())
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
                                unroll=_scan_unroll(n, stacked_var_gates))
     return pl.from_planes(xr, xi, n)
@@ -1139,8 +1145,9 @@ def _bwd(ftape, residuals, ct):
         )
         return (fxr, fxi, bxr, bxi), layer_cts
 
-    fxr, fxi = pl.to_planes(jnp.asarray(final), n)
-    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n)
+    fxr, fxi = pl.to_planes(jnp.asarray(final), n, config.fwd_plane_dtype())
+    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n,
+                            config.bwd_plane_dtype())
     (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
         body, (fxr, fxi, bxr, bxi), stacked_var_gates,
         reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
@@ -1241,8 +1248,8 @@ def _cross_density(xr, xi, positions, n: int) -> jax.Array:
     views (groups.density's generic branch on planes, reference
     primitives.cu:779-876)."""
     dims = gr.group_dims(n)
-    Sr = gr.subblocks(xr.reshape(dims), positions, n)
-    Si = gr.subblocks(xi.reshape(dims), positions, n)
+    Sr = gr.subblocks(xr.reshape(dims), positions, n).astype(jnp.float32)
+    Si = gr.subblocks(xi.reshape(dims), positions, n).astype(jnp.float32)
     prec = config.matmul_precision()
     Dr = (jnp.matmul(Sr, Sr.T, precision=prec)
           + jnp.matmul(Si, Si.T, precision=prec))
@@ -1299,6 +1306,7 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
     if not pending:
         return bxr, bxi
     pending = dict(pending)
+    bwd_dt = config.bwd_plane_dtype() if bxr is None else None
     njg = len(gr.group_dims(n))
     if pl.merged_top_tiny(n) and (njg - 1 in pending or njg - 2 in pending):
         # seeds are SUMS of per-group operators, so the top two groups'
@@ -1316,22 +1324,30 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
         acc = None if bxr is None else (bxr, bxi)
         bxr, bxi = pl.apply_merged_top(fxr, fxi, jnp.conj(Mm), n,
                                        alias=False, conj=True, acc=acc,
-                                       interpret=interp)
+                                       out_dtype=bwd_dt, interpret=interp)
+        bwd_dt = None
     for key, M in pending.items():
         acc = None if bxr is None else (bxr, bxi)
+        seed_dt = bwd_dt if acc is None else None
         if isinstance(key, tuple):
             # cross-group density seed: bwd += M conj(psi) = conj(conj(M) psi)
             groups = {gr.group_of_bit(n, p)[0] for p in key}
             if len(groups) <= 2:
                 bxr, bxi = _apply_dense_cross(fxr, fxi, jnp.conj(M), key, n,
-                                              interp, conj=True, acc0=acc)
+                                              interp, conj=True, acc0=acc,
+                                              out_dtype=seed_dt)
             else:
                 yr, yi = _apply_xcross(fxr, fxi, jnp.conj(M), key, n)
-                bxr = yr if acc is None else bxr + yr
-                bxi = -yi if acc is None else bxi - yi
+                if acc is None:
+                    dt = seed_dt or yr.dtype
+                    bxr, bxi = yr.astype(dt), (-yi).astype(dt)
+                else:
+                    bxr, bxi = (bxr + yr).astype(bxr.dtype), (bxi - yi).astype(bxi.dtype)
             continue
         bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), key, n, alias=False,
-                                  conj=True, acc=acc, interpret=interp)
+                                  conj=True, acc=acc, out_dtype=seed_dt,
+                                  interpret=interp)
+        bwd_dt = None
     return bxr, bxi
 
 
@@ -1346,7 +1362,8 @@ def plane_density_epilogue(epi_ftape: FusedTape, state):
 def _epilogue_fwd_impl(epi_ftape, state):
     n = epi_ftape.n
     sizes = gr.group_sizes_low_first(n)
-    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
+    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n,
+                          config.fwd_plane_dtype())
     return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
 
@@ -1408,7 +1425,8 @@ def _scan_densities_impl(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
         xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
         return (xr, xi), None
 
-    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n)
+    xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n,
+                          config.fwd_plane_dtype())
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
                                unroll=_scan_unroll(n, stacked_var_gates))
 
@@ -1534,7 +1552,7 @@ def _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
               const_gates):
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
-    xr, xi = pl.standard_planes(n)
+    xr, xi = pl.standard_planes(n, config.fwd_plane_dtype())
     if pro_ftape is not None:
         xr, xi = _apply_forward(xr, xi, plane_program(pro_ftape), pro_ftape,
                                 (), pro_const_gates)
@@ -1703,7 +1721,8 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
     program = _trim_program(plane_program(ftape), stop_after)
-    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n)
+    xr, xi = pl.to_planes(jnp.asarray(state).astype(C64), n,
+                          config.fwd_plane_dtype())
     densities = []
     gram_cache: Dict[int, jax.Array] = {}
     for item in program:
@@ -1787,7 +1806,8 @@ def _pt_fwd(ftape, initial_state, var_gates, const_gates):
         ftape, initial_state, var_gates, const_gates,
         stop_after=last if last >= 0 else -1)
     if last < 0:
-        xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), ftape.n)
+        xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), ftape.n,
+                              config.fwd_plane_dtype())
     dtype_token = jnp.zeros((), jnp.asarray(initial_state).dtype)
     return densities, (xr, xi, dtype_token, var_gates, const_gates)
 

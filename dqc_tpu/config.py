@@ -164,3 +164,39 @@ def canonicalize_complex(dtype):
     if dtype not in _REAL_OF:
         raise ValueError(f"expected complex64 or complex128, got {dtype}")
     return dtype
+
+
+# State-plane STORAGE dtype for the Pallas plane engine (ops/planes.py,
+# circuit/plane_scan.py). Compute inside kernels is always f32 in VMEM;
+# this sets the dtype the (xr, xi) planes are STORED in between passes:
+#   "f32"   - exact f32 storage (default; the parity-test configuration).
+#   "mixed" - forward planes f32, backward/cotangent planes bf16: the value
+#             stays exact-f32 while the adjoint's second statevector halves.
+#             30 qubits fwd+grad fits a 16 GB chip (8 GB fwd + 4 GB bwd vs
+#             2 x 8 GB for f32 — the same two-statevector floor as the
+#             reference, circuit.rs:266-429); gradient error ~ bf16 rounding
+#             per backward pass (measured numbers in BENCHMARKS.md).
+#   "bf16"  - both state pairs stored bf16 (max headroom / HBM throughput;
+#             value AND grad carry bf16 rounding).
+_STATE_STORAGE = _os.environ.get("DQC_STATE_STORAGE", "f32")
+
+
+def set_state_storage(mode: str) -> None:
+    if mode not in ("f32", "mixed", "bf16"):
+        raise ValueError("state storage must be 'f32', 'mixed' or 'bf16'")
+    global _STATE_STORAGE
+    _STATE_STORAGE = mode
+
+
+def state_storage() -> str:
+    return _STATE_STORAGE
+
+
+def fwd_plane_dtype():
+    """Storage dtype of the forward statevector planes."""
+    return jnp.bfloat16 if _STATE_STORAGE == "bf16" else jnp.float32
+
+
+def bwd_plane_dtype():
+    """Storage dtype of the cotangent statevector planes."""
+    return jnp.float32 if _STATE_STORAGE == "f32" else jnp.bfloat16

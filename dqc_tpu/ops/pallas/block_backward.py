@@ -38,10 +38,12 @@ def _kernel(a_blk, dot_mode,
             fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
 
-    fr = fr_ref[:].reshape(-1, 128)
-    fi = fi_ref[:].reshape(-1, 128)
-    br = br_ref[:].reshape(-1, 128)
-    bi = bi_ref[:].reshape(-1, 128)
+    # plane refs may be stored reduced (config.set_state_storage): loads
+    # upcast to f32, all VMEM compute is f32, stores downcast
+    fr = fr_ref[:].reshape(-1, 128).astype(F32)
+    fi = fi_ref[:].reshape(-1, 128).astype(F32)
+    br = br_ref[:].reshape(-1, 128).astype(F32)
+    bi = bi_ref[:].reshape(-1, 128).astype(F32)
 
     # fwd_in = fwd_out @ Einv^T   (complex Karatsuba: 3 dots)
     u1 = dot(fr + fi, inv_t1[:])
@@ -49,16 +51,16 @@ def _kernel(a_blk, dot_mode,
     u3 = dot(fr, inv_t3[:])
     fir = u1 - u2
     fii = u1 + u3
-    fir_ref[:] = fir.reshape(fir_ref.shape)
-    fii_ref[:] = fii.reshape(fii_ref.shape)
+    fir_ref[:] = fir.reshape(fir_ref.shape).astype(fir_ref.dtype)
+    fii_ref[:] = fii.reshape(fii_ref.shape).astype(fii_ref.dtype)
 
     # bwd' = bwd @ E   (transport by E^T on the lane axis)
     sb = br + bi
     v1 = dot(sb, e_t1[:])
     v2 = dot(bi, e_t2[:])
     v3 = dot(br, e_t3[:])
-    bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape)
-    bni_ref[:] = (v1 + v3).reshape(bni_ref.shape)
+    bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape).astype(bnr_ref.dtype)
+    bni_ref[:] = (v1 + v3).reshape(bni_ref.shape).astype(bni_ref.dtype)
 
     # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram)
     # Karatsuba, reusing the transport's (br+bi) operand: 3 dots, not 4
@@ -98,11 +100,12 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     bs = cm.blk3
     es = cm.fixed2
     kern = functools.partial(_kernel, a_blk, dot_mode)
-    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)  # fwd pair keeps its storage
+    bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)  # bwd pair keeps its storage
     small = jax.ShapeDtypeStruct((128, 128), F32)
     return pl.pallas_call(
         kern,
-        out_shape=(big, big, big, big, small, small),
+        out_shape=(fbig, fbig, bbig, bbig, small, small),
         grid=(A // a_blk,),
         in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
                 + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
@@ -128,25 +131,25 @@ def _kernel_sub(a_blk, dot_mode,
     t0r_acc = jnp.zeros((128, 128), F32)
     t0i_acc = jnp.zeros((128, 128), F32)
     for a in range(a_blk):
-        fr = fr_ref[a]
-        fi = fi_ref[a]
-        br = br_ref[a]
-        bi = bi_ref[a]
+        fr = fr_ref[a].astype(F32)
+        fi = fi_ref[a].astype(F32)
+        br = br_ref[a].astype(F32)
+        bi = bi_ref[a].astype(F32)
         # fwd_in = Einv @ fwd_out (sublane axis = left matmul per slice)
         u1 = dot(inv1[:], fr + fi)
         u2 = dot(inv2[:], fi)
         u3 = dot(inv3[:], fr)
         fir = u1 - u2
         fii = u1 + u3
-        fir_ref[a, :, :] = fir
-        fii_ref[a, :, :] = fii
+        fir_ref[a, :, :] = fir.astype(fir_ref.dtype)
+        fii_ref[a, :, :] = fii.astype(fii_ref.dtype)
         # bwd' = E^T @ bwd
         sb = br + bi
         v1 = dot(e1[:], sb)
         v2 = dot(e2[:], bi)
         v3 = dot(e3[:], br)
-        bnr_ref[a, :, :] = v1 - v2
-        bni_ref[a, :, :] = v1 + v3
+        bnr_ref[a, :, :] = (v1 - v2).astype(bnr_ref.dtype)
+        bni_ref[a, :, :] = (v1 + v3).astype(bni_ref.dtype)
         # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
         # Karatsuba (3 dots), reusing the transport's (br+bi) operand
         p1 = dot(br, fir.T)
@@ -183,11 +186,12 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     bs = cm.blk3
     es = cm.fixed2
     kern = functools.partial(_kernel_sub, a_blk, dot_mode)
-    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
+    bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((128, 128), F32)
     return pl.pallas_call(
         kern,
-        out_shape=(big, big, big, big, small, small),
+        out_shape=(fbig, fbig, bbig, bbig, small, small),
         grid=(A // a_blk,),
         in_specs=[pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)] * 4
                 + [pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)] * 6,
@@ -281,45 +285,50 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
         v3 = dot(s_e3[:], br)
         return f1r, f1i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
 
+    # plane refs may be stored reduced (config.set_state_storage): every ref
+    # read upcasts to f32 (including re-reads of values staged through the
+    # output refs), every ref store downcasts
     if g0_first:
         # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
         # (per slice, staged through the output refs), then lane on the tile
         for a in range(a_blk):
             f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
-                fr_ref[a], fi_ref[a], br_ref[a], bi_ref[a], (t0s_r, t0s_i))
-            fir_ref[a, :, :] = f1r
-            fii_ref[a, :, :] = f1i
-            bnr_ref[a, :, :] = b1r
-            bni_ref[a, :, :] = b1i
-        fr = fir_ref[:].reshape(-1, 128)
-        fi = fii_ref[:].reshape(-1, 128)
-        br = bnr_ref[:].reshape(-1, 128)
-        bi = bni_ref[:].reshape(-1, 128)
+                fr_ref[a].astype(F32), fi_ref[a].astype(F32),
+                br_ref[a].astype(F32), bi_ref[a].astype(F32), (t0s_r, t0s_i))
+            fir_ref[a, :, :] = f1r.astype(fir_ref.dtype)
+            fii_ref[a, :, :] = f1i.astype(fii_ref.dtype)
+            bnr_ref[a, :, :] = b1r.astype(bnr_ref.dtype)
+            bni_ref[a, :, :] = b1i.astype(bni_ref.dtype)
+        fr = fir_ref[:].reshape(-1, 128).astype(F32)
+        fi = fii_ref[:].reshape(-1, 128).astype(F32)
+        br = bnr_ref[:].reshape(-1, 128).astype(F32)
+        bi = bni_ref[:].reshape(-1, 128).astype(F32)
         f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
                                                      (t0l_r, t0l_i))
-        fir_ref[:] = f0r.reshape(fir_ref.shape)
-        fii_ref[:] = f0i.reshape(fii_ref.shape)
-        bnr_ref[:] = b0r.reshape(bnr_ref.shape)
-        bni_ref[:] = b0i.reshape(bni_ref.shape)
+        fir_ref[:] = f0r.reshape(fir_ref.shape).astype(fir_ref.dtype)
+        fii_ref[:] = f0i.reshape(fii_ref.shape).astype(fii_ref.dtype)
+        bnr_ref[:] = b0r.reshape(bnr_ref.shape).astype(bnr_ref.dtype)
+        bni_ref[:] = b0i.reshape(bni_ref.shape).astype(bni_ref.dtype)
     else:
         # tape order [B1(sublane), B0(lane)] -> lane first on the full tile
-        fr = fr_ref[:].reshape(-1, 128)
-        fi = fi_ref[:].reshape(-1, 128)
-        br = br_ref[:].reshape(-1, 128)
-        bi = bi_ref[:].reshape(-1, 128)
+        fr = fr_ref[:].reshape(-1, 128).astype(F32)
+        fi = fi_ref[:].reshape(-1, 128).astype(F32)
+        br = br_ref[:].reshape(-1, 128).astype(F32)
+        bi = bi_ref[:].reshape(-1, 128).astype(F32)
         f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
                                                      (t0l_r, t0l_i))
-        fir_ref[:] = f0r.reshape(fir_ref.shape)
-        fii_ref[:] = f0i.reshape(fii_ref.shape)
-        bnr_ref[:] = b0r.reshape(bnr_ref.shape)
-        bni_ref[:] = b0i.reshape(bni_ref.shape)
+        fir_ref[:] = f0r.reshape(fir_ref.shape).astype(fir_ref.dtype)
+        fii_ref[:] = f0i.reshape(fii_ref.shape).astype(fii_ref.dtype)
+        bnr_ref[:] = b0r.reshape(bnr_ref.shape).astype(bnr_ref.dtype)
+        bni_ref[:] = b0i.reshape(bni_ref.shape).astype(bni_ref.dtype)
         for a in range(a_blk):
             f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
-                fir_ref[a], fii_ref[a], bnr_ref[a], bni_ref[a], (t0s_r, t0s_i))
-            fir_ref[a, :, :] = f1r
-            fii_ref[a, :, :] = f1i
-            bnr_ref[a, :, :] = b1r
-            bni_ref[a, :, :] = b1i
+                fir_ref[a].astype(F32), fii_ref[a].astype(F32),
+                bnr_ref[a].astype(F32), bni_ref[a].astype(F32), (t0s_r, t0s_i))
+            fir_ref[a, :, :] = f1r.astype(fir_ref.dtype)
+            fii_ref[a, :, :] = f1i.astype(fii_ref.dtype)
+            bnr_ref[a, :, :] = b1r.astype(bnr_ref.dtype)
+            bni_ref[a, :, :] = b1i.astype(bni_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -337,10 +346,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
         # the diagonal run preceded the dual in the forward: roll (fwd, bwd)
         # through it here — Q pair product BEFORE the updates, then
         # fwd *= D_inv, bwd *= D (ops/pallas/diag.py semantics)
-        fr_c = fir_ref[:]
-        fi_c = fii_ref[:]
-        br_c = bnr_ref[:]
-        bi_c = bni_ref[:]
+        fr_c = fir_ref[:].astype(F32)
+        fi_c = fii_ref[:].astype(F32)
+        br_c = bnr_ref[:].astype(F32)
+        bi_c = bni_ref[:].astype(F32)
         if diag_q:
             qr, qi = _cmul(br_c, bi_c, fr_c, fi_c)
 
@@ -359,10 +368,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
                                     ial_r, ial_i)
         br_c, bi_c = _diag_tile_mul(br_c, bi_c, tsl_r, tsl_i, tas_r, tas_i,
                                     tal_r, tal_i)
-        fir_ref[:] = fr_c
-        fii_ref[:] = fi_c
-        bnr_ref[:] = br_c
-        bni_ref[:] = bi_c
+        fir_ref[:] = fr_c.astype(fir_ref.dtype)
+        fii_ref[:] = fi_c.astype(fii_ref.dtype)
+        bnr_ref[:] = br_c.astype(bnr_ref.dtype)
+        bni_ref[:] = bi_c.astype(bni_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
@@ -402,14 +411,15 @@ def block_backward_dual(fr, fi, br, bi,
     kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode,
                              has_diag, diag_q and has_diag)
     A_ = fr.shape[0]
-    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
+    bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((128, 128), F32)
     big_spec = pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)
     sm_spec = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
     in_specs = [big_spec] * 4 + [sm_spec] * 12
     args = (fr, fi, br, bi) + tuple(l_inv) + tuple(l_e) + tuple(s_inv) + tuple(s_e)
-    out_shape = (big, big, big, big, small, small, small, small)
+    out_shape = (fbig, fbig, bbig, bbig, small, small, small, small)
     out_specs = (big_spec,) * 4 + (sm_spec,) * 4
     if has_diag:
         # inverse then forward tables: (tsl_r/i fixed; tas/tal r/i per-block)
@@ -441,26 +451,27 @@ def _kernel_high(x_dim, dot_mode,
                  fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
 
-    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
-    fr = fr_ref[0].reshape(x_dim, -1)
-    fi = fi_ref[0].reshape(x_dim, -1)
-    br = br_ref[0].reshape(x_dim, -1)
-    bi = bi_ref[0].reshape(x_dim, -1)
+    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
+    # reduced-storage refs upcast on load, downcast on store
+    fr = fr_ref[0].reshape(x_dim, -1).astype(F32)
+    fi = fi_ref[0].reshape(x_dim, -1).astype(F32)
+    br = br_ref[0].reshape(x_dim, -1).astype(F32)
+    bi = bi_ref[0].reshape(x_dim, -1).astype(F32)
 
     u1 = dot(inv1[:], fr + fi)
     u2 = dot(inv2[:], fi)
     u3 = dot(inv3[:], fr)
     fir = u1 - u2
     fii = u1 + u3
-    fir_ref[0] = fir.reshape(fir_ref.shape[1:])
-    fii_ref[0] = fii.reshape(fii_ref.shape[1:])
+    fir_ref[0] = fir.reshape(fir_ref.shape[1:]).astype(fir_ref.dtype)
+    fii_ref[0] = fii.reshape(fii_ref.shape[1:]).astype(fii_ref.dtype)
 
     sb = br + bi
     v1 = dot(e1[:], sb)
     v2 = dot(e2[:], bi)
     v3 = dot(e3[:], br)
-    bnr_ref[0] = (v1 - v2).reshape(bnr_ref.shape[1:])
-    bni_ref[0] = (v1 + v3).reshape(bni_ref.shape[1:])
+    bnr_ref[0] = (v1 - v2).reshape(bnr_ref.shape[1:]).astype(bnr_ref.dtype)
+    bni_ref[0] = (v1 + v3).reshape(bni_ref.shape[1:]).astype(bni_ref.dtype)
 
     # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
     p1 = dot(br, fir.T)
@@ -492,6 +503,9 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     """
     assert fr.ndim == 4 and fr.shape[-1] == 128
     A1, X, M, _ = fr.shape
+    if (jnp.dtype(fr.dtype) == jnp.bfloat16
+            or jnp.dtype(br.dtype) == jnp.bfloat16):
+        m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)
     inv = einv_r, einv_r + einv_i, einv_i - einv_r
@@ -499,12 +513,13 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     bs = cm.blk4
     es = cm.fixed2
     kern = functools.partial(_kernel_high, X, dot_mode)
-    big = jax.ShapeDtypeStruct(fr.shape, F32)
+    fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
+    bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((X, X), F32)
     blk = (1, X, m_blk, 128)
     return pl.pallas_call(
         kern,
-        out_shape=(big, big, big, big, small, small),
+        out_shape=(fbig, fbig, bbig, bbig, small, small),
         grid=(A1, M // m_blk),
         in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 4
                 + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 6,

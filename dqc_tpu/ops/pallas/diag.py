@@ -66,9 +66,9 @@ def _kernel_sweep(xr_ref, xi_ref,
                   tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
                   yr_ref, yi_ref):
     mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
-    yr, yi = _cmul(xr_ref[:], xi_ref[:], mr, mi)
-    yr_ref[:] = yr
-    yi_ref[:] = yi
+    yr, yi = _cmul(xr_ref[:].astype(F32), xi_ref[:].astype(F32), mr, mi)
+    yr_ref[:] = yr.astype(yr_ref.dtype)
+    yi_ref[:] = yi.astype(yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
@@ -89,7 +89,7 @@ def diag_sweep_planes(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),) * 2,
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, xr.dtype),) * 2,
         grid=(A // a_blk,),
         in_specs=[big, big, tab_sl, tab_sl, tab_a, tab_a, tab_a, tab_a],
         out_specs=(big, big),
@@ -114,8 +114,8 @@ def _kernel_bwd(with_q,
     else:
         fnr_ref, fni_ref, bnr_ref, bni_ref = out_refs
 
-    fr, fi = fr_ref[:], fi_ref[:]
-    br, bi = br_ref[:], bi_ref[:]
+    fr, fi = fr_ref[:].astype(F32), fi_ref[:].astype(F32)
+    br, bi = br_ref[:].astype(F32), bi_ref[:].astype(F32)
 
     if with_q:
         # order-invariant pair product BEFORE the updates (see module doc)
@@ -141,13 +141,13 @@ def _kernel_bwd(with_q,
 
     mr, mi = _total_diag(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
     fnr, fni = _cmul(fr, fi, mr, mi)
-    fnr_ref[:] = fnr
-    fni_ref[:] = fni
+    fnr_ref[:] = fnr.astype(fnr_ref.dtype)
+    fni_ref[:] = fni.astype(fni_ref.dtype)
 
     mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
     bnr, bni = _cmul(br, bi, mr, mi)
-    bnr_ref[:] = bnr
-    bni_ref[:] = bni
+    bnr_ref[:] = bnr.astype(bnr_ref.dtype)
+    bni_ref[:] = bni.astype(bni_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "with_q", "interpret"))
@@ -172,10 +172,11 @@ def diag_backward_planes(fr, fi, br, bi,
     tab_sl = pl.BlockSpec((128, 128), cm.fixed2, memory_space=pltpu.VMEM)
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)
     acc_sl = pl.BlockSpec((128, 128), cm.fixed2, memory_space=pltpu.VMEM)
-    big_sh = jax.ShapeDtypeStruct(fr.shape, F32)
+    fbig_sh = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
+    bbig_sh = jax.ShapeDtypeStruct(br.shape, br.dtype)
     sl_sh = jax.ShapeDtypeStruct((128, 128), F32)
     a_sh = jax.ShapeDtypeStruct((A, 128), F32)
-    out_shape = (big_sh,) * 4
+    out_shape = (fbig_sh, fbig_sh, bbig_sh, bbig_sh)
     out_specs = (big, big, big, big)
     if with_q:
         out_shape = out_shape + (sl_sh, sl_sh, a_sh, a_sh, a_sh, a_sh)

@@ -6,15 +6,20 @@ VMEM once, hit with ``Em @ X @ El^T`` complex matmuls (Karatsuba, 3 real
 dots per complex product, combination operands precomputed host-side), and
 written once — up to 14 qubits' worth of fused gates per sweep.
 
+This is the PRODUCTION hot path of the plane-layout engine
+(circuit/plane_scan.py): the state lives as real/imag planes across the
+whole layer scan (ops/planes.py), so every eligible dense sweep lands here.
 Measured on TPU v5e at 26 qubits (tuning notes in BENCHMARKS.md):
 8.8 ms per dual sweep at full-f32 precision with ``a_blk=16`` and
 ``dimension_semantics=("arbitrary",)`` — 1.7x the XLA complex einsum path
 per group-sweep, near the f32 MXU 6-pass limit (Mosaic rejects
-``Precision.HIGH``; a manual bf16x3 split is the next lever). Integrating
-into the engine requires a real-plane state layout (complex64 refs are not
-supported by Mosaic, and extracting planes per call costs the saved
-sweeps) — planned for the next round; this module is the tested building
-block.
+``Precision.HIGH`` as a flag; ``dot_mode='bf16x3'`` is the manual opt-in
+3-pass split, ops/pallas/dots.py).
+
+``diag_tables`` folds a whole preceding diagonal run into this sweep (the
+ddual item, see plane_scan._pair_diag_into_dual). Plane refs may be stored
+in a reduced dtype (config.set_state_storage): compute is always f32 in
+VMEM, loads/stores convert at the ref boundary.
 
 Works under ``interpret=True`` on CPU for testing.
 """
@@ -60,8 +65,10 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
         yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
-    xr = xr_ref[:]
-    xi = xi_ref[:]
+    # plane refs may be stored in a reduced dtype (config.set_state_storage):
+    # loads upcast to f32, all VMEM compute is f32, stores downcast
+    xr = xr_ref[:].astype(F32)
+    xi = xi_ref[:].astype(F32)
     if has_diag:
         # pre-multiply by the fused diagonal run (applied BEFORE the dual
         # gates in the forward program) — zero extra HBM passes
@@ -88,18 +95,19 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
         if conj:
             vi = -vi
         if has_acc:
-            vr = accr_ref[a] + vr
-            vi = acci_ref[a] + vi
-        yr_ref[a, :, :] = vr
-        yi_ref[a, :, :] = vi
+            vr = accr_ref[a].astype(F32) + vr
+            vi = acci_ref[a].astype(F32) + vi
+        yr_ref[a, :, :] = vr.astype(yr_ref.dtype)
+        yi_ref[a, :, :] = vi.astype(yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",
-                                             "conj", "interpret"))
+                                             "conj", "out_dtype",
+                                             "interpret"))
 def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
                             dot_mode: str = "f32", alias: bool = True,
                             conj: bool = False, acc=None, diag_tables=None,
-                            interpret: bool = False):
+                            out_dtype=None, interpret: bool = False):
     """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
     ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
     HBM pass.
@@ -147,13 +155,21 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
         args = args + (acc[0], acc[1])
         aliases = {acc_base: 0, acc_base + 1: 1}
     else:
+        # output storage dtype follows the aliased buffer (acc in seed mode,
+        # else the input planes); out_dtype overrides for no-acc outputs —
+        # the seed-creation path where the accumulator's storage differs
+        # from the input's (aliasing is dropped on a dtype mismatch)
+        out_dt = xr.dtype if out_dtype is None else jnp.dtype(out_dtype)
+        same = jnp.dtype(out_dt) == jnp.dtype(xr.dtype)
         # in-place update: the state planes are dead after the sweep
         # (SURVEY 7 step 4b - the reference mutates one buffer in place)
-        aliases = {0: 0, 1: 1} if alias else {}
+        aliases = {0: 0, 1: 1} if (alias and same) else {}
+    if has_acc:
+        out_dt = acc[0].dtype
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
-                   jax.ShapeDtypeStruct(xr.shape, F32)),
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, out_dt),
+                   jax.ShapeDtypeStruct(xr.shape, out_dt)),
         grid=(A // a_blk,),
         in_specs=in_specs,
         out_specs=(big, big),

@@ -37,9 +37,11 @@ def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
         yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
-    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group
-    xr = xr_ref[0].reshape(x_dim, -1)
-    xi = xi_ref[0].reshape(x_dim, -1)
+    # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
+    # plane refs may be stored reduced (config.set_state_storage): loads
+    # upcast to f32, stores downcast
+    xr = xr_ref[0].reshape(x_dim, -1).astype(F32)
+    xi = xi_ref[0].reshape(x_dim, -1).astype(F32)
     t1 = dot(e1[:], xr + xi)
     t2 = dot(e2[:], xi)
     t3 = dot(e3[:], xr)
@@ -48,17 +50,18 @@ def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
     if conj:
         vi = -vi
     if has_acc:
-        vr = accr_ref[0] + vr
-        vi = acci_ref[0] + vi
-    yr_ref[0] = vr
-    yi_ref[0] = vi
+        vr = accr_ref[0].astype(F32) + vr
+        vi = acci_ref[0].astype(F32) + vi
+    yr_ref[0] = vr.astype(yr_ref.dtype)
+    yi_ref[0] = vi.astype(yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
-                                             "conj", "interpret"))
+                                             "conj", "out_dtype",
+                                             "interpret"))
 def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
                             dot_mode: str = "f32", alias: bool = True,
-                            conj: bool = False, acc=None,
+                            conj: bool = False, acc=None, out_dtype=None,
                             interpret: bool = False):
     """Apply the complex operator ``e_r + i e_i`` (``X x X``) to the second
     axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass.
@@ -68,6 +71,15 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
     seed pattern — see dual_group_apply_planes)."""
     assert xr.ndim == 4 and xr.shape[-1] == 128
     A1, X, M, _ = xr.shape
+    out_dt = acc[0].dtype if acc is not None else xr.dtype
+    if out_dtype is not None and acc is None:
+        out_dt = jnp.dtype(out_dtype)
+        if jnp.dtype(out_dt) != jnp.dtype(xr.dtype):
+            alias = False  # dtype change: cannot alias the input planes
+    if jnp.dtype(xr.dtype) == jnp.bfloat16 or jnp.dtype(out_dt) == jnp.bfloat16:
+        # bf16 native tiling is (16, 128): the m-axis block (second-to-last
+        # dim) must be a multiple of 16
+        m_blk = max(m_blk, 16)
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)
     # Karatsuba combination operands (tiny, host/trace-side)
@@ -89,8 +101,8 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         aliases = {0: 0, 1: 1} if alias else {}
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct(xr.shape, F32),
-                   jax.ShapeDtypeStruct(xr.shape, F32)),
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, out_dt),
+                   jax.ShapeDtypeStruct(xr.shape, out_dt)),
         grid=(A1, M // m_blk),
         in_specs=in_specs,
         out_specs=(big, big),

@@ -62,23 +62,25 @@ def plane_shape(n: int) -> Tuple[int, int, int]:
     return (1 << (n - 14), 128, 128)
 
 
-def to_planes(state: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
-    """Flat or grouped complex state -> (xr, xi) f32 planes."""
+def to_planes(state: jax.Array, n: int, dtype=F32) -> Tuple[jax.Array, jax.Array]:
+    """Flat or grouped complex state -> (xr, xi) planes. ``dtype`` is the
+    STORAGE dtype (f32 default; bf16 under config.set_state_storage modes —
+    kernels always compute f32 in VMEM)."""
     t = jnp.asarray(state).reshape(plane_shape(n))
-    return t.real.astype(F32), t.imag.astype(F32)
+    return t.real.astype(dtype), t.imag.astype(dtype)
 
 
 def from_planes(xr: jax.Array, xi: jax.Array, n: int, dtype=jnp.complex64) -> jax.Array:
-    """(xr, xi) planes -> flat complex state."""
-    return (xr + 1j * xi).reshape(-1).astype(dtype)
+    """(xr, xi) planes -> flat complex state (any storage dtype)."""
+    return (xr.astype(F32) + 1j * xi.astype(F32)).reshape(-1).astype(dtype)
 
 
-def standard_planes(n: int) -> Tuple[jax.Array, jax.Array]:
+def standard_planes(n: int, dtype=F32) -> Tuple[jax.Array, jax.Array]:
     """|0...0> directly as planes — no 2^n complex buffer is ever built
     (reference primitives.cu:176-199 zero-fills then sets amplitude 0)."""
     shape = plane_shape(n)
-    xr = jnp.zeros(shape, F32).at[0, 0, 0].set(1.0)
-    return xr, jnp.zeros(shape, F32)
+    xr = jnp.zeros(shape, dtype).at[0, 0, 0].set(1.0)
+    return xr, jnp.zeros(shape, dtype)
 
 
 def op_planes(E) -> Tuple[jax.Array, jax.Array]:
@@ -178,7 +180,8 @@ def merged_top_tiny(n: int) -> bool:
 
 
 def apply_merged_top(xr, xi, E_m, n: int, *, alias: bool = True,
-                     conj: bool = False, acc=None, interpret: bool = False):
+                     conj: bool = False, acc=None, out_dtype=None,
+                     interpret: bool = False):
     """Apply a dense operator on the MERGED (top, top-1) group axis
     (``E_m``: (X*Xl, X*Xl), e.g. kron(E_top, E_low)) in one kernel pass —
     one sweep where the per-group path would take two. ``conj``/``acc``:
@@ -192,7 +195,7 @@ def apply_merged_top(xr, xi, E_m, n: int, *, alias: bool = True,
     yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
                                      dot_mode=config.kernel_dot_mode(),
                                      alias=alias, conj=conj, acc=acc,
-                                     interpret=interpret)
+                                     out_dtype=out_dtype, interpret=interpret)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
@@ -251,7 +254,7 @@ def _diag_table_planes(tables):
 
 def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                *, alias: bool = True, conj: bool = False, acc=None,
-               diag=None, interpret: bool = False):
+               diag=None, out_dtype=None, interpret: bool = False):
     """One HBM pass applying lane-group operator ``E0`` and sublane-group
     operator ``E1`` (either may be None = identity; both 128x128 complex).
     ``diag``: complex (tsl, tas, tal) tables of a fused diagonal run to
@@ -264,7 +267,7 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                                    dot_mode=config.kernel_dot_mode(),
                                    alias=alias, conj=conj, acc=acc,
                                    diag_tables=_diag_table_planes(diag),
-                                   interpret=interpret)
+                                   out_dtype=out_dtype, interpret=interpret)
 
 
 def _apply_high_smallx(vxr, vxi, er, ei, X: int):
@@ -289,7 +292,8 @@ def _apply_high_smallx(vxr, vxi, er, ei, X: int):
 
 
 def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
-               conj: bool = False, acc=None, interpret: bool = False):
+               conj: bool = False, acc=None, out_dtype=None,
+               interpret: bool = False):
     """Dense full-group operator on high group ``j >= 2`` (one pass)."""
     pre, X, M = _high_view(n, j)
     if X >= MIN_KERNEL_X:
@@ -299,6 +303,7 @@ def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
         yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
                                          dot_mode=config.kernel_dot_mode(),
                                          alias=alias, conj=conj, acc=acc,
+                                         out_dtype=out_dtype,
                                          interpret=interpret)
     elif j >= 3:
         # tiny top group: merged-axis kernel (see _merged_view)
@@ -309,34 +314,40 @@ def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
         yr, yi = high_group_apply_planes(vxr, vxi, er, ei,
                                          dot_mode=config.kernel_dot_mode(),
                                          alias=alias, conj=conj, acc=acc,
+                                         out_dtype=out_dtype,
                                          interpret=interpret)
     else:
         # small-n fallback (j == 2 tiny): elementwise, XLA fuses conj/acc
         er, ei = op_planes(E)
-        vxr = xr.reshape(pre, X, M, 128)
-        vxi = xi.reshape(pre, X, M, 128)
+        vxr = xr.reshape(pre, X, M, 128).astype(F32)
+        vxi = xi.reshape(pre, X, M, 128).astype(F32)
         yr, yi = _apply_high_smallx(vxr, vxi, er, ei, X)
         if conj:
             yi = -yi
+        out_dt = (acc[0].dtype if acc is not None
+                  else (out_dtype or xr.dtype))
         if acc is not None:
-            yr = acc[0].reshape(yr.shape) + yr
-            yi = acc[1].reshape(yi.shape) + yi
+            yr = acc[0].reshape(yr.shape).astype(F32) + yr
+            yi = acc[1].reshape(yi.shape).astype(F32) + yi
+        yr = yr.astype(out_dt)
+        yi = yi.astype(out_dt)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
 def apply_block(xr, xi, E, j: int, n: int, *, alias: bool = True,
-                conj: bool = False, acc=None, interpret: bool = False):
+                conj: bool = False, acc=None, out_dtype=None,
+                interpret: bool = False):
     """Dense full-group operator on any group axis. ``conj``/``acc``: emit
     ``acc + conj(E x)`` with the accumulator updated in place (density
     seeds)."""
     if j == 0:
         return apply_dual(xr, xi, E, None, alias=alias, conj=conj, acc=acc,
-                          interpret=interpret)
+                          out_dtype=out_dtype, interpret=interpret)
     if j == 1:
         return apply_dual(xr, xi, None, E, alias=alias, conj=conj, acc=acc,
-                          interpret=interpret)
+                          out_dtype=out_dtype, interpret=interpret)
     return apply_high(xr, xi, E, j, n, alias=alias, conj=conj, acc=acc,
-                      interpret=interpret)
+                      out_dtype=out_dtype, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -359,9 +370,10 @@ def apply_diag_axis(xr, xi, table, j: int, n: int):
     dims = gr.group_dims(n)
     tr, ti = _table_planes(table)
     shape = _bshape(n, j)
-    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
+    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
                    jnp.asarray(tr).reshape(shape), jnp.asarray(ti).reshape(shape))
-    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+    return (yr.reshape(xr.shape).astype(xr.dtype),
+            yi.reshape(xi.shape).astype(xi.dtype))
 
 
 def _axis_indicators(positions, n: int):
@@ -406,18 +418,20 @@ def apply_multi_diag(xr, xi, d, positions, n: int):
         term_i = d[j].imag * m
         tr = term_r if tr is None else tr + term_r
         ti = term_i if ti is None else ti + term_i
-    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims), tr, ti)
-    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
+                   tr, ti)
+    return (yr.reshape(xr.shape).astype(xr.dtype),
+            yi.reshape(xi.shape).astype(xi.dtype))
 
 
 def multi_diag_gram(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
     """``W[j] = sum_b bwd[j, b] fwd[j, b]`` over the gate-bit subblocks
     (the diag-gate cotangent, groups.diag_pair_grad on real planes)."""
     dims = gr.group_dims(n)
-    Fr = gr.subblocks(fxr.reshape(dims), positions, n)
-    Fi = gr.subblocks(fxi.reshape(dims), positions, n)
-    Br = gr.subblocks(bxr.reshape(dims), positions, n)
-    Bi = gr.subblocks(bxi.reshape(dims), positions, n)
+    Fr = gr.subblocks(fxr.reshape(dims), positions, n).astype(F32)
+    Fi = gr.subblocks(fxi.reshape(dims), positions, n).astype(F32)
+    Br = gr.subblocks(bxr.reshape(dims), positions, n).astype(F32)
+    Bi = gr.subblocks(bxi.reshape(dims), positions, n).astype(F32)
     wr = jnp.sum(Br * Fr - Bi * Fi, axis=1)
     wi = jnp.sum(Br * Fi + Bi * Fr, axis=1)
     return wr + 1j * wi
@@ -436,9 +450,10 @@ def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
     shape = [1] * G
     shape[a2] = dims[a2]
     shape[a1] = dims[a1]
-    yr, yi = _cmul(xr.reshape(dims), xi.reshape(dims),
+    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
                    tr.reshape(shape), ti.reshape(shape))
-    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+    return (yr.reshape(xr.shape).astype(xr.dtype),
+            yi.reshape(xi.shape).astype(xi.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -491,8 +506,8 @@ def _gram_axis_xla(xr, xi, j: int, n: int) -> jax.Array:
     o1 = sub[:ax] + "Z" + sub[ax + 1:]
     spec = f"{o1},{sub}->Z{sub[ax]}"
     hi = jax.lax.Precision.HIGHEST
-    vr = xr.reshape(dims)
-    vi = xi.reshape(dims)
+    vr = xr.reshape(dims).astype(F32)
+    vi = xi.reshape(dims).astype(F32)
     A = jnp.einsum(spec, vr, vr, precision=hi)
     B = jnp.einsum(spec, vi, vi, precision=hi)
     C = jnp.einsum(spec, vr, vi, precision=hi)
@@ -536,8 +551,8 @@ def diag_gram_axis(fxr, fxi, bxr, bxi, j: int, n: int) -> jax.Array:
     (the all-diag block gradient source, groups.group_diag_gram)."""
     dims = gr.group_dims(n)
     ax = len(dims) - 1 - j
-    fr, fi = fxr.reshape(dims), fxi.reshape(dims)
-    br, bi = bxr.reshape(dims), bxi.reshape(dims)
+    fr, fi = fxr.reshape(dims).astype(F32), fxi.reshape(dims).astype(F32)
+    br, bi = bxr.reshape(dims).astype(F32), bxi.reshape(dims).astype(F32)
     axes = tuple(a for a in range(len(dims)) if a != ax)
     wr = jnp.sum(br * fr - bi * fi, axis=axes)
     wi = jnp.sum(br * fi + bi * fr, axis=axes)
@@ -550,8 +565,8 @@ def cross_diag_gram(fxr, fxi, bxr, bxi, j2: int, j1: int, n: int) -> jax.Array:
     dims = gr.group_dims(n)
     G = len(dims)
     a2, a1 = G - 1 - j2, G - 1 - j1
-    fr, fi = fxr.reshape(dims), fxi.reshape(dims)
-    br, bi = bxr.reshape(dims), bxi.reshape(dims)
+    fr, fi = fxr.reshape(dims).astype(F32), fxi.reshape(dims).astype(F32)
+    br, bi = bxr.reshape(dims).astype(F32), bxi.reshape(dims).astype(F32)
     axes = tuple(a for a in range(G) if a not in (a2, a1))
     wr = jnp.sum(br * fr - bi * fi, axis=axes)
     wi = jnp.sum(br * fi + bi * fr, axis=axes)
@@ -616,10 +631,10 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
     # tiny group just above the minors: fusable elementwise formulation
     # (see _apply_high_smallx)
     fr, fi = apply_high(fxr, fxi, Einv, j, n, interpret=interpret)
-    vfr = fr.reshape(shape4)
-    vfi = fi.reshape(shape4)
-    vbr = bxr.reshape(shape4)
-    vbi = bxi.reshape(shape4)
+    vfr = fr.reshape(shape4).astype(F32)
+    vfi = fi.reshape(shape4).astype(F32)
+    vbr = bxr.reshape(shape4).astype(F32)
+    vbi = bxi.reshape(shape4).astype(F32)
     # T0[x, y] = sum_batch bwd[x] fwd_in[y]: X^2 fused multiply-reduces
     rows = []
     for x in range(X):

@@ -22,6 +22,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from dqc_tpu import config
 from dqc_tpu.circuit import plane_scan as ps
 from dqc_tpu.ops import planes as pl
 from dqc_tpu.parallel import dist
@@ -103,7 +104,8 @@ def dist_plane_scanned_layers(dprog: DFusedProgram, axis: str, local_state,
         xr, xi = _forward_layer(dprog, axis, xr, xi, layer_gates, const_gates)
         return (xr, xi), None
 
-    xr, xi = pl.to_planes(jnp.asarray(local_state).astype(C64), m)
+    xr, xi = pl.to_planes(jnp.asarray(local_state).astype(C64), m,
+                          config.fwd_plane_dtype())
     (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates)
     return pl.from_planes(xr, xi, m)
 
@@ -125,8 +127,9 @@ def _bwd(dprog, axis, residuals, ct):
         cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
         return (fxr, fxi, bxr, bxi), cts
 
-    fxr, fxi = pl.to_planes(jnp.asarray(final), m)
-    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), m)
+    fxr, fxi = pl.to_planes(jnp.asarray(final), m, config.fwd_plane_dtype())
+    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), m,
+                            config.bwd_plane_dtype())
     (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
         body, (fxr, fxi, bxr, bxi), stacked_var_gates, reverse=True,
     )
@@ -171,9 +174,10 @@ from dqc_tpu.parallel.layout import DDensity
 def local_standard_planes(m: int, axis: str):
     """|0..0> as local planes: amplitude 0 lives on mesh position 0."""
     shape = pl.plane_shape(m)
-    first = (jax.lax.axis_index(axis) == 0).astype(jnp.float32)
-    xr = jnp.zeros(shape, jnp.float32).at[0, 0, 0].set(first)
-    return xr, jnp.zeros(shape, jnp.float32)
+    dt = config.fwd_plane_dtype()
+    first = (jax.lax.axis_index(axis) == 0).astype(dt)
+    xr = jnp.zeros(shape, dt).at[0, 0, 0].set(first)
+    return xr, jnp.zeros(shape, dt)
 
 
 def _epi_density(gram_cache, xr, xi, positions, m: int, axis: str):
