@@ -646,13 +646,26 @@ def _dense_cross_expanded_terms(gate_m, positions, n: int):
 
 
 def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp, *,
-                       conj: bool = False, acc0=None, out_dtype=None):
-    """Per-group term accumulate sweeps; ``conj``/``acc0`` give the seed
-    form ``acc0 + conj(G x)`` (x read-only, one aliased accumulator).
-    ``out_dtype``: storage dtype of a FRESH accumulator (seed creation in
-    mixed-storage mode, where the cotangent planes store reduced)."""
+                       conj: bool = False, acc0=None, out_dtype=None,
+                       alias: bool = False):
+    """Dense cross-group gate = per-group term decomposition. Preferred
+    path: the WHOLE term sum in one fused kernel pass (pl.apply_cross_terms,
+    aliased in place when ``alias`` — x is dead in the forward/adjoint
+    sweeps, so no extra plane-pair is ever live). Fallback (term pairs with
+    no fused kernel shape): 2 accumulate sweeps per term. ``conj``/``acc0``
+    give the seed form ``acc0 + conj(G x)`` (x read-only, one aliased
+    accumulator). ``out_dtype``: storage dtype of a FRESH accumulator (seed
+    creation in mixed-storage mode, where the cotangent planes store
+    reduced)."""
+    terms = _dense_cross_expanded_terms(gate_m, positions, n)
+    fused = pl.apply_cross_terms(xr, xi, terms, n,
+                                 alias=alias and acc0 is None, conj=conj,
+                                 acc=acc0, out_dtype=out_dtype,
+                                 interpret=interp)
+    if fused is not None:
+        return fused
     acc = acc0
-    for EA, ja, EB, jb in _dense_cross_expanded_terms(gate_m, positions, n):
+    for EA, ja, EB, jb in terms:
         tr, ti = pl.apply_block(xr, xi, EB, jb, n, alias=False,
                                 interpret=interp)
         acc = pl.apply_block(tr, ti, EA, ja, n, acc=acc, conj=conj,
@@ -748,7 +761,7 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
-                fi.positions, ftape.n, _interpret())
+                fi.positions, ftape.n, _interpret(), alias=True)
         elif item[0] == "xcross":
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_xcross(
@@ -893,11 +906,12 @@ def _backward_dense_cross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
     m = _cross_dense_gate(fi, var_gates, const_gates)
     fxr, fxi = _apply_dense_cross(
         fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)), fi.positions,
-        n, interp)
+        n, interp, alias=True)  # pair-grad reads the NEW (restored) planes
     if fi.var:
         var_cts[fi.queue_idx] = _plane_pair_grad(fxr, fxi, bxr, bxi,
                                                  fi.positions, n)
-    bxr, bxi = _apply_dense_cross(bxr, bxi, m.T, fi.positions, n, interp)
+    bxr, bxi = _apply_dense_cross(bxr, bxi, m.T, fi.positions, n, interp,
+                                  alias=True)
     return fxr, fxi, bxr, bxi
 
 
@@ -1746,7 +1760,7 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_dense_cross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
-                fi.positions, n, _interpret())
+                fi.positions, n, _interpret(), alias=True)
         elif item[0] == "xcross":
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_xcross(
@@ -1775,7 +1789,8 @@ def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
             groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
             if len(groups) > 2:
                 return _apply_xcross(fxr, fxi, minv, fi.positions, n)
-            return _apply_dense_cross(fxr, fxi, minv, fi.positions, n, interp)
+            return _apply_dense_cross(fxr, fxi, minv, fi.positions, n,
+                                      interp, alias=True)
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
         ctx = f"cross-group diag gate, queue index {fi.queue_idx}"
         dinv = _inv_diag(d, fi.unitary, ctx)

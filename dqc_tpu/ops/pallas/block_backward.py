@@ -445,40 +445,51 @@ def block_backward_dual(fr, fi, br, bi,
     )(*args)
 
 
-def _kernel_high(x_dim, dot_mode,
+def _kernel_high(x_dim, n_chunks, dot_mode,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  inv1, inv2, inv3, e1, e2, e3,
                  fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
-    # reduced-storage refs upcast on load, downcast on store
-    fr = fr_ref[0].reshape(x_dim, -1).astype(F32)
-    fi = fi_ref[0].reshape(x_dim, -1).astype(F32)
-    br = br_ref[0].reshape(x_dim, -1).astype(F32)
-    bi = bi_ref[0].reshape(x_dim, -1).astype(F32)
+    # reduced-storage refs upcast on load, downcast on store. For large X
+    # (the merged-top view reaches X=512 at 30q) the m axis is processed in
+    # ``n_chunks`` column chunks so the f32 temporaries stay inside the
+    # scoped-VMEM budget (one un-chunked 30q slab demands 116 MB > the
+    # 128 MB v5e VMEM); T0 accumulates across chunks exactly.
+    m_blk = fr_ref.shape[2]
+    mc = m_blk // n_chunks
+    t0r_acc = jnp.zeros(t0r_ref.shape, F32)
+    t0i_acc = jnp.zeros(t0i_ref.shape, F32)
+    for c in range(n_chunks):
+        sl = slice(c * mc, (c + 1) * mc)
+        fr = fr_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
+        fi = fi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
+        br = br_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
+        bi = bi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
 
-    u1 = dot(inv1[:], fr + fi)
-    u2 = dot(inv2[:], fi)
-    u3 = dot(inv3[:], fr)
-    fir = u1 - u2
-    fii = u1 + u3
-    fir_ref[0] = fir.reshape(fir_ref.shape[1:]).astype(fir_ref.dtype)
-    fii_ref[0] = fii.reshape(fii_ref.shape[1:]).astype(fii_ref.dtype)
+        u1 = dot(inv1[:], fr + fi)
+        u2 = dot(inv2[:], fi)
+        u3 = dot(inv3[:], fr)
+        fir = u1 - u2
+        fii = u1 + u3
+        out3 = (x_dim, mc, 128)
+        fir_ref[0, :, sl, :] = fir.reshape(out3).astype(fir_ref.dtype)
+        fii_ref[0, :, sl, :] = fii.reshape(out3).astype(fii_ref.dtype)
 
-    sb = br + bi
-    v1 = dot(e1[:], sb)
-    v2 = dot(e2[:], bi)
-    v3 = dot(e3[:], br)
-    bnr_ref[0] = (v1 - v2).reshape(bnr_ref.shape[1:]).astype(bnr_ref.dtype)
-    bni_ref[0] = (v1 + v3).reshape(bni_ref.shape[1:]).astype(bni_ref.dtype)
+        sb = br + bi
+        v1 = dot(e1[:], sb)
+        v2 = dot(e2[:], bi)
+        v3 = dot(e3[:], br)
+        bnr_ref[0, :, sl, :] = (v1 - v2).reshape(out3).astype(bnr_ref.dtype)
+        bni_ref[0, :, sl, :] = (v1 + v3).reshape(out3).astype(bni_ref.dtype)
 
-    # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
-    p1 = dot(br, fir.T)
-    p2 = dot(bi, fii.T)
-    p3 = dot(sb, (fir + fii).T)
-    t0r = p1 - p2
-    t0i = p3 - p1 - p2
+        # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
+        p1 = dot(br, fir.T)
+        p2 = dot(bi, fii.T)
+        p3 = dot(sb, (fir + fii).T)
+        t0r_acc += p1 - p2
+        t0i_acc += p3 - p1 - p2
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -487,8 +498,8 @@ def _kernel_high(x_dim, dot_mode,
         t0r_ref[:] = jnp.zeros_like(t0r_ref)
         t0i_ref[:] = jnp.zeros_like(t0i_ref)
 
-    t0r_ref[:] += t0r
-    t0i_ref[:] += t0i
+    t0r_ref[:] += t0r_acc
+    t0i_ref[:] += t0i_acc
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "interpret"))
@@ -508,11 +519,26 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)
+    # chunk the in-kernel f32 slab to ~1 MB per temporary (~12 temporaries;
+    # see _kernel_high). The dominant VMEM term at large X is the
+    # double-buffered IO blocks themselves, which cannot shrink below the
+    # full X column x 16-sublane bf16 tile — so the scoped-vmem budget is
+    # sized to the actual demand (the 64 MB default rejects the 30q merged
+    # view, X=512; v5e has 128 MB physical VMEM).
+    slab = X * m_blk * 128 * 4
+    n_chunks = 1
+    while (slab // n_chunks > 1024 * 1024 and n_chunks < m_blk
+           and m_blk % (n_chunks * 2) == 0):
+        n_chunks *= 2
+    io_bytes = sum(2 * X * m_blk * 128 * jnp.dtype(d).itemsize
+                   for d in (fr.dtype, fr.dtype, br.dtype, br.dtype))
+    est = 2 * io_bytes + 14 * (slab // n_chunks) + 16 * X * X * 4
+    vmem_limit = min(110 * 1024 * 1024, max(64 * 1024 * 1024, est))
     inv = einv_r, einv_r + einv_i, einv_i - einv_r
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = cm.blk4
     es = cm.fixed2
-    kern = functools.partial(_kernel_high, X, dot_mode)
+    kern = functools.partial(_kernel_high, X, n_chunks, dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((X, X), F32)
@@ -528,9 +554,9 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # (1, X, 8, 128) blocks x 8 live buffers + Karatsuba temporaries
-            # exceed the 16M default scoped-vmem at X=128; v5e has 128M VMEM
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # sized to demand (IO double-buffers + chunked temporaries);
+            # the 64M floor covers the X=128 default, larger X raises it
+            vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *inv, *et)

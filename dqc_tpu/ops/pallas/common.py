@@ -32,3 +32,8 @@ def blk2(i):
 def fixed2(*_):
     """Grid-invariant rank-2 operand/accumulator (whole array each cell)."""
     return (_Z, _Z)
+
+
+def fixed3(*_):
+    """Grid-invariant rank-3 operand (stacked per-term operators)."""
+    return (_Z, _Z, _Z)

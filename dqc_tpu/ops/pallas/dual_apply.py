@@ -101,6 +101,111 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
         yi_ref[a, :, :] = vi.astype(yi_ref.dtype)
 
 
+def _kernel_multi(a_blk, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
+                  k1, k2, k3, m1, m2, m3, *rest):
+    """Sum-of-terms dual sweep: ``y = sum_t Em_t @ x @ El_t^T`` in ONE HBM
+    pass — a whole dense cross-group gate's Schmidt decomposition
+    (plane_scan._dense_cross_expanded_terms) instead of 2 passes per term.
+    Stacked operand refs are (T, 128, 128); modes as in ``_kernel``."""
+    if has_acc:
+        accr_ref, acci_ref, yr_ref, yi_ref = rest
+    else:
+        yr_ref, yi_ref = rest
+    dot = make_dot(dot_mode)
+
+    xr = xr_ref[:].astype(F32)
+    xi = xi_ref[:].astype(F32)
+    x2r = xr.reshape(-1, 128)
+    x2i = xi.reshape(-1, 128)
+
+    # lane stage per term (whole tile), results kept in VMEM registers
+    lane = []
+    for t in range(n_terms):
+        t1 = dot(x2r + x2i, k1[t])
+        t2 = dot(x2i, k2[t])
+        t3 = dot(x2r, k3[t])
+        lane.append(((t1 - t2).reshape(a_blk, 128, 128),
+                     (t1 + t3).reshape(a_blk, 128, 128)))
+
+    # sublane stage per a-slice, accumulating the term sum
+    for a in range(a_blk):
+        vr = vi = None
+        for t in range(n_terms):
+            ar, ai = lane[t][0][a], lane[t][1][a]
+            v1 = dot(m1[t], ar + ai)
+            v2 = dot(m2[t], ai)
+            v3 = dot(m3[t], ar)
+            wr, wi = v1 - v2, v1 + v3
+            vr = wr if vr is None else vr + wr
+            vi = wi if vi is None else vi + wi
+        if conj:
+            vi = -vi
+        if has_acc:
+            vr = accr_ref[a].astype(F32) + vr
+            vi = acci_ref[a].astype(F32) + vi
+        yr_ref[a, :, :] = vr.astype(yr_ref.dtype)
+        yi_ref[a, :, :] = vi.astype(yi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",
+                                             "conj", "out_dtype",
+                                             "interpret"))
+def dual_multi_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *,
+                            a_blk: int = 16, dot_mode: str = "f32",
+                            alias: bool = True, conj: bool = False,
+                            acc=None, out_dtype=None,
+                            interpret: bool = False):
+    """Multi-term dual sweep: ``el_r/el_i/em_r/em_i`` are stacked
+    ``(T, 128, 128)`` per-term lane/sublane factors; one HBM pass computes
+    ``sum_t Em_t X El_t^T`` (with the same conj/acc/storage semantics as
+    ``dual_group_apply_planes``). This is the one-pass execution of a dense
+    cross-group gate between the two minor groups — the reference applies
+    such gates amplitude-pair-wise in one sweep too (primitives.cu:104-160);
+    the previous plane path needed 2 HBM passes per Schmidt term plus a
+    fresh accumulator pair (the 3-plane-pair memory spike)."""
+    assert xr.ndim == 3 and xr.shape[1:] == (128, 128)
+    assert el_r.ndim == 3 and el_r.shape[1:] == (128, 128)
+    T = el_r.shape[0]
+    A = xr.shape[0]
+    if A % a_blk:
+        a_blk = 1 << (min(A, a_blk).bit_length() - 1)
+        while A % a_blk:
+            a_blk >>= 1
+    k1 = jnp.swapaxes(el_r, 1, 2)
+    k2 = jnp.swapaxes(el_r + el_i, 1, 2)
+    k3 = jnp.swapaxes(el_i - el_r, 1, 2)
+    m1, m2, m3 = em_r, em_r + em_i, em_i - em_r
+    has_acc = acc is not None
+    kern = functools.partial(_kernel_multi, a_blk, T, dot_mode, conj, has_acc)
+    big = pl.BlockSpec((a_blk, 128, 128), cm.blk3, memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((T, 128, 128), cm.fixed3, memory_space=pltpu.VMEM)
+    in_specs = [big] * 2 + [tab] * 6
+    args = (xr, xi, k1, k2, k3, m1, m2, m3)
+    if has_acc:
+        in_specs = in_specs + [big, big]
+        args = args + (acc[0], acc[1])
+        aliases = {8: 0, 9: 1}
+        out_dt = acc[0].dtype
+    else:
+        out_dt = xr.dtype if out_dtype is None else jnp.dtype(out_dtype)
+        same = jnp.dtype(out_dt) == jnp.dtype(xr.dtype)
+        aliases = {0: 0, 1: 1} if (alias and same) else {}
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, out_dt),
+                   jax.ShapeDtypeStruct(xr.shape, out_dt)),
+        grid=(A // a_blk,),
+        in_specs=in_specs,
+        out_specs=(big, big),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",
                                              "conj", "out_dtype",
                                              "interpret"))

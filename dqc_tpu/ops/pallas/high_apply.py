@@ -113,3 +113,99 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         ),
         interpret=interpret,
     )(*args)
+
+def _kernel_multi(x_dim, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
+                  e1, e2, e3, k1, k2, k3, *rest):
+    """Sum-of-terms high+lane sweep: ``y = sum_t (E_t on the X axis) x
+    (El_t^T on the lane axis)`` in ONE pass — a dense cross-group gate
+    between a high group and the lane group executes its whole Schmidt
+    decomposition per tile (e*: (T, X, X); k*: (T, 128, 128))."""
+    if has_acc:
+        accr_ref, acci_ref, yr_ref, yi_ref = rest
+    else:
+        yr_ref, yi_ref = rest
+    dot = make_dot(dot_mode)
+
+    xr = xr_ref[0].reshape(x_dim, -1).astype(F32)
+    xi = xi_ref[0].reshape(x_dim, -1).astype(F32)
+    vr_tot = vi_tot = None
+    for t in range(n_terms):
+        t1 = dot(e1[t], xr + xi)
+        t2 = dot(e2[t], xi)
+        t3 = dot(e3[t], xr)
+        vr = t1 - t2
+        vi = t1 + t3
+        # lane factor on the last axis of the (X, m_blk, 128) block
+        v2r = vr.reshape(-1, 128)
+        v2i = vi.reshape(-1, 128)
+        u1 = dot(v2r + v2i, k1[t])
+        u2 = dot(v2i, k2[t])
+        u3 = dot(v2r, k3[t])
+        wr, wi = u1 - u2, u1 + u3
+        vr_tot = wr if vr_tot is None else vr_tot + wr
+        vi_tot = wi if vi_tot is None else vi_tot + wi
+    if conj:
+        vi_tot = -vi_tot
+    if has_acc:
+        vr_tot = accr_ref[0].reshape(vr_tot.shape).astype(F32) + vr_tot
+        vi_tot = acci_ref[0].reshape(vi_tot.shape).astype(F32) + vi_tot
+    yr_ref[0] = vr_tot.reshape(yr_ref.shape[1:]).astype(yr_ref.dtype)
+    yi_ref[0] = vi_tot.reshape(yi_ref.shape[1:]).astype(yi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
+                                             "conj", "out_dtype",
+                                             "interpret"))
+def high_multi_apply_planes(xr, xi, e_r, e_i, el_r, el_i, *, m_blk: int = 8,
+                            dot_mode: str = "f32", alias: bool = True,
+                            conj: bool = False, acc=None, out_dtype=None,
+                            interpret: bool = False):
+    """Multi-term high+lane sweep over plane view ``(A1, X, M, 128)``:
+    per-term high-group factors ``e_r/e_i`` are ``(T, X, X)``, lane factors
+    ``el_r/el_i`` are ``(T, 128, 128)``; one HBM pass computes the full
+    term sum (conj/acc/storage semantics as high_group_apply_planes)."""
+    assert xr.ndim == 4 and xr.shape[-1] == 128
+    assert e_r.ndim == 3 and el_r.shape[1:] == (128, 128)
+    T = e_r.shape[0]
+    A1, X, M, _ = xr.shape
+    out_dt = acc[0].dtype if acc is not None else xr.dtype
+    if out_dtype is not None and acc is None:
+        out_dt = jnp.dtype(out_dtype)
+        if jnp.dtype(out_dt) != jnp.dtype(xr.dtype):
+            alias = False
+    if jnp.dtype(xr.dtype) == jnp.bfloat16 or jnp.dtype(out_dt) == jnp.bfloat16:
+        m_blk = max(m_blk, 16)
+    if M % m_blk:
+        m_blk = M
+    e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
+    k1 = jnp.swapaxes(el_r, 1, 2)
+    k2 = jnp.swapaxes(el_r + el_i, 1, 2)
+    k3 = jnp.swapaxes(el_i - el_r, 1, 2)
+    has_acc = acc is not None
+    kern = functools.partial(_kernel_multi, X, T, dot_mode, conj, has_acc)
+    blk = (1, X, m_blk, 128)
+    big = pl.BlockSpec(blk, cm.blk4, memory_space=pltpu.VMEM)
+    ehi = pl.BlockSpec((T, X, X), cm.fixed3, memory_space=pltpu.VMEM)
+    lan = pl.BlockSpec((T, 128, 128), cm.fixed3, memory_space=pltpu.VMEM)
+    in_specs = [big] * 2 + [ehi] * 3 + [lan] * 3
+    args = (xr, xi, e1, e2, e3, k1, k2, k3)
+    if has_acc:
+        in_specs = in_specs + [big, big]
+        args = args + (acc[0].reshape(xr.shape), acc[1].reshape(xr.shape))
+        aliases = {8: 0, 9: 1}
+    else:
+        aliases = {0: 0, 1: 1} if alias else {}
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, out_dt),
+                   jax.ShapeDtypeStruct(xr.shape, out_dt)),
+        grid=(A1, M // m_blk),
+        in_specs=in_specs,
+        out_specs=(big, big),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)

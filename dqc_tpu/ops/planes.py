@@ -36,8 +36,14 @@ import numpy as np
 
 from dqc_tpu import config
 from dqc_tpu.ops import groups as gr
-from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
-from dqc_tpu.ops.pallas.high_apply import high_group_apply_planes
+from dqc_tpu.ops.pallas.dual_apply import (
+    dual_group_apply_planes,
+    dual_multi_apply_planes,
+)
+from dqc_tpu.ops.pallas.high_apply import (
+    high_group_apply_planes,
+    high_multi_apply_planes,
+)
 from dqc_tpu.ops.pallas.block_backward import (
     block_backward_high,
     block_backward_lane,
@@ -348,6 +354,55 @@ def apply_block(xr, xi, E, j: int, n: int, *, alias: bool = True,
                           out_dtype=out_dtype, interpret=interpret)
     return apply_high(xr, xi, E, j, n, alias=alias, conj=conj, acc=acc,
                       out_dtype=out_dtype, interpret=interpret)
+
+
+def apply_cross_terms(xr, xi, terms, n: int, *, alias: bool = True,
+                      conj: bool = False, acc=None, out_dtype=None,
+                      interpret: bool = False):
+    """ONE-pass execution of a dense cross-group gate's full per-group
+    term decomposition (plane_scan._dense_cross_expanded_terms): ``y =
+    sum_t (EA_t on ja)(EB_t on jb) x`` with conj/acc/storage semantics of
+    apply_block. Covers the (minor, minor) and (lane, high) group pairs —
+    the per-term 2-pass accumulate path needed a temp pair + a fresh
+    accumulator pair per gate (3 plane-pairs live, the 29q-shard dense-cross
+    memory ceiling). Returns None when the pair shape has no fused kernel
+    (caller falls back to the per-term sweeps)."""
+    groups = {t[1] for t in terms} | {t[3] for t in terms}
+    if len(groups) != 2:
+        return None
+
+    def stacked(ops):
+        rs, is_ = zip(*(op_planes(E) for E in ops))
+        return jnp.stack(rs), jnp.stack(is_)
+
+    if groups == {0, 1}:
+        el = [EA if ja == 0 else EB for EA, ja, EB, jb in terms]
+        em = [EB if ja == 0 else EA for EA, ja, EB, jb in terms]
+        el_r, el_i = stacked(el)
+        em_r, em_i = stacked(em)
+        return dual_multi_apply_planes(
+            xr, xi, el_r, el_i, em_r, em_i,
+            dot_mode=config.kernel_dot_mode(), alias=alias, conj=conj,
+            acc=acc, out_dtype=out_dtype, interpret=interpret)
+    if 0 in groups:
+        j = max(groups)
+        pre, X, M = _high_view(n, j)
+        if X < MIN_KERNEL_X:
+            return None
+        eh = [EA if ja == j else EB for EA, ja, EB, jb in terms]
+        el = [EB if ja == j else EA for EA, ja, EB, jb in terms]
+        eh_r, eh_i = stacked(eh)
+        el_r, el_i = stacked(el)
+        vxr = xr.reshape(pre, X, M, 128)
+        vxi = xi.reshape(pre, X, M, 128)
+        a2 = None if acc is None else (acc[0].reshape(pre, X, M, 128),
+                                       acc[1].reshape(pre, X, M, 128))
+        yr, yi = high_multi_apply_planes(
+            vxr, vxi, eh_r, eh_i, el_r, el_i,
+            dot_mode=config.kernel_dot_mode(), alias=alias, conj=conj,
+            acc=a2, out_dtype=out_dtype, interpret=interpret)
+        return yr.reshape(xr.shape), yi.reshape(xi.shape)
+    return None
 
 
 # ---------------------------------------------------------------------------

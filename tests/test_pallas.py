@@ -264,6 +264,26 @@ def test_merged_tiny_top_group_paths():
     np.testing.assert_allclose(got_gram, np.asarray(want_gram),
                                rtol=3e-5, atol=2e-3)
 
+
+@pytest.mark.slow
+def test_merged_tiny_top_backward():
+    """Backward/T0 on the merged (top, top-1) axis (slow tier: the n=22
+    interpret-mode adjoint is the heaviest single kernel test)."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 22
+    j = 3
+    rng = np.random.default_rng(31)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    bwd = oracles.random_state(rng, n).astype(np.complex64)
+    E = oracles.random_unitary(rng, 1).astype(np.complex64)
+    Einv = np.linalg.inv(E).astype(np.complex64)
+
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    shape = (1 << (n - 14), 128, 128)
+    xr = jnp.asarray(psi.real.reshape(shape))
+    xi = jnp.asarray(psi.imag.reshape(shape))
+
     # backward: fwd_in = Einv fwd_out; bwd' = E^T bwd; T0 = pair-gram
     t_b = gr.to_grouped(jnp.asarray(bwd), n)
     want_fi = gr.apply_group_matrix(t, jnp.asarray(Einv), j)
@@ -413,3 +433,56 @@ def test_block_backward_dual_with_fused_diag(diag_q):
                                    Q.sum(axis=2), rtol=1e-3, atol=1e-2)
         np.testing.assert_allclose(np.asarray(out[12]) + 1j * np.asarray(out[13]),
                                    Q.sum(axis=1), rtol=1e-3, atol=1e-2)
+
+
+def test_multi_term_cross_kernels():
+    """One-pass dense cross-group sweeps (dual multi-term + high+lane
+    multi-term) vs the dense-operator oracle, incl. conj/acc seed mode."""
+    from dqc_tpu.circuit.plane_scan import (
+        _apply_dense_cross, _dense_cross_expanded_terms)
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(53)
+
+    # (0, 1) minor-minor pair at n=16; (0, 2) lane-high pairs at n=17
+    # (n=17 -> X=8 meets the kernel minimum; tiny-X pairs fall back)
+    for positions, n in (((7, 3), 16), ((3, 14), 17), ((14, 3), 17)):
+        psi = oracles.random_state(rng, n).astype(np.complex64)
+        shape = (1 << (n - 14), 128, 128)
+        xr = jnp.asarray(psi.real.reshape(shape))
+        xi = jnp.asarray(psi.imag.reshape(shape))
+        G = oracles.random_unitary(rng, 2).astype(np.complex64)
+        terms = _dense_cross_expanded_terms(jnp.asarray(G), positions, n)
+        fused = pln.apply_cross_terms(xr, xi, terms, n, alias=False,
+                                      interpret=True)
+        assert fused is not None, positions
+        t = gr.to_grouped(jnp.asarray(psi), n)
+        want = gr.from_grouped(gr.apply_dense(t, jnp.asarray(G), positions, n))
+        got = (np.asarray(fused[0]) + 1j * np.asarray(fused[1])).reshape(-1)
+        np.testing.assert_allclose(got, np.asarray(want).reshape(-1),
+                                   rtol=4e-5, atol=4e-5)
+
+        # seed mode: acc + conj(G x), acc aliased, x preserved
+        acc0 = oracles.random_state(rng, n).astype(np.complex64)
+        ar = jnp.asarray(acc0.real.reshape(shape))
+        ai = jnp.asarray(acc0.imag.reshape(shape))
+        sr, si = pln.apply_cross_terms(xr, xi, terms, n, conj=True,
+                                       acc=(ar, ai), interpret=True)
+        want_seed = acc0 + np.conj(np.asarray(want).reshape(-1))
+        got_seed = (np.asarray(sr) + 1j * np.asarray(si)).reshape(-1)
+        np.testing.assert_allclose(got_seed, want_seed, rtol=4e-5, atol=4e-5)
+
+    # CNOT: pruned Schmidt (2 terms), via the _apply_dense_cross dispatcher
+    n = 16
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    xr = jnp.asarray(psi.real.reshape(4, 128, 128))
+    xi = jnp.asarray(psi.imag.reshape(4, 128, 128))
+    cx = np.asarray(
+        np.eye(4, dtype=np.complex64)[[0, 1, 3, 2]], np.complex64)
+    yr, yi = _apply_dense_cross(xr, xi, jnp.asarray(cx), (7, 6), n, True,
+                                alias=False)
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    want = gr.from_grouped(gr.apply_dense(t, jnp.asarray(cx), (7, 6), n))
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(-1)
+    np.testing.assert_allclose(got, np.asarray(want).reshape(-1),
+                               rtol=4e-5, atol=4e-5)

@@ -101,7 +101,8 @@ def test_forward_parity(n):
                                rtol=0, atol=5e-6)
 
 
-@pytest.mark.parametrize("n,nonu", [(14, False), (15, True),
+@pytest.mark.parametrize("n,nonu", [(14, True),
+                                    pytest.param(15, False, marks=pytest.mark.slow),
                                     pytest.param(16, False, marks=pytest.mark.slow)])
 def test_gradient_parity(n, nonu):
     """value_and_grad through scan + epilogue densities: plane vs XLA engines
@@ -151,8 +152,8 @@ def test_model_dispatch_parity(plane_mode):
 
 def test_vqe_ising_layer_parity():
     """The reference headline workload's layer (var diag zz ring + var dense
-    x rotations, reference example_vqse_ising.py:68-75) at 15 qubits."""
-    n = 15
+    x rotations, reference example_vqse_ising.py:68-75) at 14 qubits."""
+    n = 14
     c = AutoGradCircuit(n, dtype=C64)
     for i in range(n - 1):
         c.add_q2_var_gate_diag(i, i + 1)

@@ -92,6 +92,7 @@ def test_mixed_value_exact_grad_bf16(n=14):
     assert rel > 0  # the mode actually took effect
 
 
+@pytest.mark.slow
 def test_bf16_value_and_grad(n=14):
     config.set_state_storage("f32")
     v0, g0 = _loss_grad(n, seed=5)
@@ -124,7 +125,7 @@ def test_dense_cross_mixed(n=14):
 
     config.set_plane_engine(True)
     try:
-        m = HardwareEfficientAnsatz(n, 2, entangler="cnot", dtype=C64,
+        m = HardwareEfficientAnsatz(n, 1, entangler="cnot", dtype=C64,
                                     scan=True)
         params = m.init_params(jax.random.PRNGKey(7))
         config.set_state_storage("f32")
