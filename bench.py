@@ -53,6 +53,7 @@ LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "100"))
 # variance is negligible; the warmup step already validated stability
 REPS = int(os.environ.get("DQC_BENCH_REPS", "1"))
 TRY_30Q = os.environ.get("DQC_BENCH_30Q", "1") != "0"
+STORAGE = os.environ.get("DQC_BENCH_STORAGE", "f32")
 
 
 def _fetch(v, g):
@@ -161,7 +162,7 @@ def main():
     err = None
     for nq in QUBIT_TRIES:
         try:
-            result = run_bench(nq, LAYERS)
+            result = run_bench(nq, LAYERS, storage=STORAGE)
             break
         except Exception as e:  # OOM or backend failure: back off
             err = e
@@ -173,8 +174,9 @@ def main():
     print(json.dumps({
         "metric": f"gate applications/sec, fwd+grad of {result['qubits']}q x "
                   f"{result['layers']}-layer/{result['gates']}-gate hardware-efficient "
-                  f"ansatz (O(1)-memory adjoint, gate fusion + layer scan, exact-f32 "
-                  f"state); vs_baseline = fraction of per-gate HBM speed-of-light "
+                  f"ansatz (O(1)-memory adjoint, gate fusion + layer scan, "
+                  f"{result['state_storage']}-storage state); vs_baseline = "
+                  f"fraction of per-gate HBM speed-of-light "
                   f"(>1 beats the reference's per-gate-sweep architecture)",
         "value": round(result["gates_per_sec"], 3),
         "unit": "gates/sec",
@@ -184,10 +186,26 @@ def main():
 
     if TRY_30Q and result["qubits"] < 30:
         # BASELINE.md's "measured at 30 qubits": opt-in mixed storage fits
-        # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding)
+        # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding).
+        # Runs in a SUBPROCESS: the 30q program needs the chip's full HBM,
+        # and leftover device state from the headline run faults it.
+        import subprocess
+
+        env = dict(os.environ,
+                   DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
+                   DQC_BENCH_30Q="0")
         try:
-            r30 = run_bench(30, LAYERS, storage="mixed")
-            print(f"# detail30: {json.dumps(r30)}", file=sys.stderr)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3000)
+            line = next((l for l in out.stderr.splitlines()
+                         if l.startswith("# detail: ")), None)
+            if line:
+                print("# detail30: " + line[len("# detail: "):],
+                      file=sys.stderr)
+            else:
+                print(f"# 30q mixed-storage run failed: rc={out.returncode} "
+                      f"{out.stderr[-300:]}", file=sys.stderr)
         except Exception as e:
             print(f"# 30q mixed-storage run failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
