@@ -138,7 +138,7 @@ def test_model_dispatch_parity(plane_mode):
     and produces the same loss/grads as the XLA path."""
     from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
-    m = HardwareEfficientAnsatz(14, 3, entangler="cz", dtype=C64, scan=True)
+    m = HardwareEfficientAnsatz(14, 2, entangler="cz", dtype=C64, scan=True)
     params = m.init_params(jax.random.PRNGKey(3))
 
     v_pl, g_pl = jax.value_and_grad(lambda p: m.magnetization(p))(params)

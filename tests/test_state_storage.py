@@ -205,9 +205,12 @@ def test_distributed_mixed(n=17):
         config.set_plane_engine("auto")
 
 
+@pytest.mark.slow
 def test_std_scan_mixed(n=14):
     """The fully plane-resident |0..0> pipeline (the bench path) under
-    mixed storage: value exact, grads at bf16 rounding."""
+    mixed storage: value exact, grads at bf16 rounding (slow tier: the
+    fast tier covers the same storage boundaries via plane_scan_densities
+    in test_mixed_value_exact_grad_bf16)."""
     ftape, stacked, consts = build_layer(n, seed=9)
     epi_ft = _epilogue(n)
 
