@@ -504,6 +504,25 @@ def estimate_hbm_passes(ftape: FusedTape,
             continue
         if item[0] == "dcross":
             fi = ftape.instructions[item[1]]
+            pgrad = 1.0 if fi.var else 0.0
+            groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
+            sizes = gr.group_sizes_low_first(n)
+            if pl.backward_span_eligible(fi.positions, n):
+                # one fused sweep each way (apply_cross_span fwd,
+                # backward_cross_span: uncompute+gram+transport in 1 pass)
+                fwd += 1.0
+                bwd += 2.0  # one fused pass over both (fwd, bwd) plane pairs
+                continue
+            one_pass = (
+                pl.cross_span_eligible(fi.positions, n)
+                or groups == {0, 1}
+                or (0 in groups and sizes[max(groups)] >= 3))
+            if one_pass:
+                # whole term sum in one fused kernel sweep (apply_cross_span
+                # slice kernels / dual_multi / high_multi)
+                fwd += 1.0
+                bwd += 2.0 + pgrad
+                continue
             terms = None
             if const_gates is not None and not fi.var:
                 try:
@@ -518,10 +537,19 @@ def estimate_hbm_passes(ftape: FusedTape,
                     by_group[g] = by_group.get(g, 0) + 1
                 terms = 4 ** min(by_group.values())
             fwd += 2.0 * terms
-            bwd += 4.0 * terms + 1.0  # uncompute + transport + pair-grad
+            bwd += 4.0 * terms + pgrad  # uncompute + transport + pair-grad
         elif item[0] == "xcross":
-            fwd += 3.0   # gather + matmul + scatter (permute sweeps)
-            bwd += 8.0   # uncompute + pair-grad + transport
+            fi = ftape.instructions[item[1]]
+            pgrad = 1.0 if fi.var else 0.0
+            if pl.backward_span_eligible(fi.positions, n):
+                fwd += 1.0
+                bwd += 2.0  # fused uncompute+gram+transport, one pass
+            elif pl.cross_span_eligible(fi.positions, n):
+                fwd += 1.0
+                bwd += 2.0 + pgrad
+            else:
+                fwd += 3.0   # gather + matmul + scatter (permute sweeps)
+                bwd += 7.0 + pgrad  # uncompute + pair-grad + transport
         elif item[0] == "mdiag":
             fwd += 1.0
             bwd += 3.0  # uncompute + subblock gram + transport
@@ -657,6 +685,12 @@ def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp, *,
     accumulator). ``out_dtype``: storage dtype of a FRESH accumulator (seed
     creation in mixed-storage mode, where the cotangent planes store
     reduced)."""
+    sliced = pl.apply_cross_span(xr, xi, gate_m, positions, n,
+                                 alias=alias and acc0 is None, conj=conj,
+                                 acc=acc0, out_dtype=out_dtype,
+                                 interpret=interp)
+    if sliced is not None:
+        return sliced
     terms = _dense_cross_expanded_terms(gate_m, positions, n)
     fused = pl.apply_cross_terms(xr, xi, terms, n,
                                  alias=alias and acc0 is None, conj=conj,
@@ -674,12 +708,19 @@ def _apply_dense_cross(xr, xi, gate_m, positions, n: int, interp, *,
     return acc
 
 
-def _apply_xcross(xr, xi, gate_m, positions, n: int):
-    """Dense k-qubit gate spanning >2 groups: gather the target bits to the
-    front (groups.subblocks, real-pair), ONE (2^k, 2^k) x (2^k, 2^(n-k))
-    complex matmul on the MXU, scatter back — the plane counterpart of
-    groups.apply_dense's generic branch (reference scope caps at k=2,
-    primitives.cu:573-620)."""
+def _apply_xcross(xr, xi, gate_m, positions, n: int, *, alias: bool = False):
+    """Dense k-qubit gate spanning >2 groups. Slice-kernel shapes (e.g.
+    three bits in three high groups) run in ONE aliased pass
+    (pl.apply_cross_span); the generic fallback gathers the target bits to
+    the front (groups.subblocks, real-pair), does ONE (2^k, 2^k) x
+    (2^k, 2^(n-k)) complex matmul on the MXU, and scatters back — the plane
+    counterpart of groups.apply_dense's generic branch (reference scope
+    caps at k=2, primitives.cu:573-620). ``alias`` only licenses in-place
+    on the kernel path (the fallback never mutates)."""
+    sliced = pl.apply_cross_span(xr, xi, gate_m, positions, n, alias=alias,
+                                 interpret=_interpret())
+    if sliced is not None:
+        return sliced
     dims = gr.group_dims(n)
     m = jnp.asarray(gate_m).astype(C64)
     mr = m.real.astype(jnp.float32)
@@ -766,7 +807,7 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_xcross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
-                fi.positions, ftape.n)
+                fi.positions, ftape.n, alias=True)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
             xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El),
@@ -865,17 +906,27 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
 
 def _backward_xcross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
                      const_gates, var_cts: Dict[int, jax.Array]):
-    """Adjoint of a >2-group dense gate: subblock uncompute with G^-1,
+    """Adjoint of a >2-group dense gate: span-eligible shapes run uncompute
+    + pair-grad + transport as ONE fused kernel pass
+    (pl.backward_cross_span); otherwise subblock uncompute with G^-1,
     pair-grad, transport with G^T (fused_autograd's FCross dense branch on
     planes, generic-positions variant)."""
     n = ftape.n
     m = _cross_dense_gate(fi, var_gates, const_gates)
-    fxr, fxi = _apply_xcross(
-        fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)), fi.positions, n)
+    minv = _inv_dense(m, fi.unitary, _cross_ctx(fi))
+    fused = pl.backward_cross_span(fxr, fxi, bxr, bxi, m, minv,
+                                   fi.positions, n, interpret=_interpret())
+    if fused is not None:
+        fxr, fxi, bxr, bxi, W = fused
+        if fi.var:
+            var_cts[fi.queue_idx] = W
+        return fxr, fxi, bxr, bxi
+    fxr, fxi = _apply_xcross(fxr, fxi, minv, fi.positions, n, alias=True)
     if fi.var:
         var_cts[fi.queue_idx] = _plane_pair_grad(fxr, fxi, bxr, bxi,
                                                  fi.positions, n)
-    bxr, bxi = _apply_xcross(bxr, bxi, m.T, fi.positions, n)
+    bxr, bxi = _apply_xcross(bxr, bxi, m.T, fi.positions, n,
+                              alias=True)
     return fxr, fxi, bxr, bxi
 
 
@@ -904,8 +955,16 @@ def _backward_dense_cross(fxr, fxi, bxr, bxi, fi: FCross, ftape, var_gates,
     n = ftape.n
     interp = _interpret()
     m = _cross_dense_gate(fi, var_gates, const_gates)
+    minv = _inv_dense(m, fi.unitary, _cross_ctx(fi))
+    fused = pl.backward_cross_span(fxr, fxi, bxr, bxi, m, minv,
+                                   fi.positions, n, interpret=interp)
+    if fused is not None:
+        fxr, fxi, bxr, bxi, W = fused
+        if fi.var:
+            var_cts[fi.queue_idx] = W
+        return fxr, fxi, bxr, bxi
     fxr, fxi = _apply_dense_cross(
-        fxr, fxi, _inv_dense(m, fi.unitary, _cross_ctx(fi)), fi.positions,
+        fxr, fxi, minv, fi.positions,
         n, interp, alias=True)  # pair-grad reads the NEW (restored) planes
     if fi.var:
         var_cts[fi.queue_idx] = _plane_pair_grad(fxr, fxi, bxr, bxi,
@@ -1346,7 +1405,7 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
         if isinstance(key, tuple):
             # cross-group density seed: bwd += M conj(psi) = conj(conj(M) psi)
             groups = {gr.group_of_bit(n, p)[0] for p in key}
-            if len(groups) <= 2:
+            if len(groups) <= 2 or pl.cross_span_eligible(key, n):
                 bxr, bxi = _apply_dense_cross(fxr, fxi, jnp.conj(M), key, n,
                                               interp, conj=True, acc0=acc,
                                               out_dtype=seed_dt)
@@ -1765,7 +1824,7 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             fi = ftape.instructions[item[1]]
             xr, xi = _apply_xcross(
                 xr, xi, _cross_dense_gate(fi, var_gates, const_gates),
-                fi.positions, n)
+                fi.positions, n, alias=True)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
             xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El), n,
@@ -1788,7 +1847,8 @@ def _uncompute_only(fxr, fxi, fi, ftape, var_gates, const_gates):
             minv = _inv_dense(m, fi.unitary, _cross_ctx(fi))
             groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
             if len(groups) > 2:
-                return _apply_xcross(fxr, fxi, minv, fi.positions, n)
+                return _apply_xcross(fxr, fxi, minv, fi.positions, n,
+                                     alias=True)
             return _apply_dense_cross(fxr, fxi, minv, fi.positions, n,
                                       interp, alias=True)
         d = _cross_gate(fi, var_gates, const_gates).reshape(-1)

@@ -406,6 +406,220 @@ def apply_cross_terms(xr, xi, terms, n: int, *, alias: bool = True,
 
 
 # ---------------------------------------------------------------------------
+# One-pass dense cross-group gates on a SPAN view
+#
+# The plane layout's flat ravel orders qubits (n-1 .. 14 | 13 .. 7 | 6 .. 0):
+# any contiguous bit range [b0, b_max] with b0 >= 7 is one contiguous axis of
+# the view ``(2^(n-1-b_max), 2^span, 2^(b0-7), 128)`` — exactly the high-group
+# kernel's (A1, X, M, 128) contract. A dense cross-group gate whose non-lane
+# bits fit a <= 8-bit span therefore runs as ONE aliased high-kernel pass with
+# the gate expanded over the span axis (expand_in_group), no Schmidt split, no
+# temp plane pair — closing the (sublane, high) and (high, high) pair shapes
+# (the qubit 13-14 and 20-21 boundaries every ladder ansatz crosses) that
+# previously ran 2 accumulate sweeps per decomposition term. Lane bits ride
+# along as per-term 128x128 lane factors in the multi-term high+lane kernel.
+# The reference sweeps once per 2q gate regardless of position
+# (primitives.cu:573-620); this restores that on planes for every shape.
+# ---------------------------------------------------------------------------
+
+MAX_SPAN_BITS = 8  # 256x256 expanded operator; the merged-top path's proven X
+
+
+def _span_geom(positions, n: int):
+    """(b0, span_bits, lane_bits) of the span view for a dense gate, or
+    None when ineligible. Span covers every bit >= 7, padded down to at
+    least 3 bits (X = 8, the Mosaic-tileable kernel minimum)."""
+    if n < 15:
+        return None
+    hi = [p for p in positions if p >= 7]
+    lanes = tuple(p for p in positions if p < 7)
+    # pure-minor pairs belong to the dual kernel; and without an A bit the
+    # span view cannot beat the existing paths
+    if not hi or max(hi) < 14:
+        return None
+    b_max, b_min = max(hi), min(hi)
+    span = max(3, b_max - b_min + 1)
+    if span > MAX_SPAN_BITS:
+        return None
+    b0 = b_max - span + 1
+    if b0 < 7:
+        return None
+    if lanes and len(lanes) > 2:
+        return None
+    return b0, span, lanes
+
+
+def cross_span_eligible(positions, n: int) -> bool:
+    """True when a dense gate on ``positions`` runs as ONE span-view kernel
+    pass (see _span_geom)."""
+    return _span_geom(positions, n) is not None
+
+
+def _permuted_gate(gate_m, positions):
+    """(positions sorted descending, gate reindexed to that order) — the
+    gate's index convention ties bit significance to the positions tuple
+    order (reference circuit.rs q2gate args; ir.FCross)."""
+    k = len(positions)
+    order = sorted(range(k), key=lambda i: -positions[i])
+    spos = tuple(positions[i] for i in order)
+    if list(order) == list(range(k)):
+        return spos, jnp.asarray(gate_m) if gr.concrete_or_none(gate_m) is None else gate_m
+    perm = list(order) + [k + i for i in order]
+    c = gr.concrete_or_none(gate_m)
+    if c is not None:
+        key = ("PG", c.tobytes(), c.dtype.str, tuple(order))
+        return spos, gr._cached(key, lambda: np.ascontiguousarray(
+            c.reshape((2,) * (2 * k)).transpose(perm).reshape(1 << k, 1 << k)))
+    G = jnp.asarray(gate_m).reshape((2,) * (2 * k))
+    return spos, G.transpose(perm).reshape(1 << k, 1 << k)
+
+
+def _span_operator(G, rels, span: int):
+    """Gate (descending-position index order) expanded over the span axis:
+    complex ``(2^span, 2^span)`` (host-cached for constants)."""
+    c = gr.concrete_or_none(G)
+    if c is not None:
+        return gr.expand_in_group(c, rels, span)
+    return gr.expand_in_group(jnp.asarray(G), rels, span)
+
+
+def _lane_span_terms(G, kh: int, rels, span: int, lane_rels):
+    """Two-side decomposition of a gate with lane bits: elementary
+    ``|ql><pl|`` on the lane group x the corresponding gate slice expanded
+    over the span axis. Returns stacked f32 ``(T, R, R)`` span parts and
+    ``(T, 128, 128)`` lane parts (zero slices pruned for constants)."""
+    kl = len(lane_rels)
+
+    def build(xp, Gc):
+        G4 = Gc.reshape(1 << kh, 1 << kl, 1 << kh, 1 << kl)
+        cG = gr.concrete_or_none(G4)
+        eh, el = [], []
+        for ql in range(1 << kl):
+            for pl_ in range(1 << kl):
+                sub = G4[:, ql, :, pl_]
+                if cG is not None and np.abs(np.asarray(cG[:, ql, :, pl_])).max() < 1e-12:
+                    continue
+                B = np.zeros((1 << kl, 1 << kl), np.complex64)
+                B[ql, pl_] = 1.0
+                eh.append(gr.expand_in_group(sub, rels, span))
+                el.append(gr.expand_in_group(B, lane_rels, gr.GROUP_BITS))
+        eh = xp.stack([xp.asarray(e) for e in eh])
+        el = xp.stack([xp.asarray(e) for e in el])
+        return (eh.real.astype(xp.float32), eh.imag.astype(xp.float32),
+                el.real.astype(xp.float32), el.imag.astype(xp.float32))
+
+    c = gr.concrete_or_none(G)
+    if c is not None:
+        key = ("LST", c.tobytes(), c.dtype.str, kh, tuple(rels), span,
+               tuple(lane_rels))
+        return gr._cached(key, lambda: tuple(
+            np.ascontiguousarray(t) for t in build(np, np.asarray(c))))
+    return build(jnp, jnp.asarray(G))
+
+
+def apply_cross_span(xr, xi, gate_m, positions, n: int, *, alias: bool = True,
+                     conj: bool = False, acc=None, out_dtype=None,
+                     interpret: bool = False):
+    """ONE-pass dense cross-group gate on the span view — covers the pair
+    shapes apply_cross_terms does not: (sublane, high), (high, high),
+    all-high >2-group spans, and (lane, A-bit) without a Mosaic-tileable
+    group axis. Semantics of apply_block (conj/acc/out_dtype/alias).
+    Returns None when the bit pattern has no span view (caller falls
+    through to apply_cross_terms / per-term sweeps)."""
+    geom = _span_geom(positions, n)
+    if geom is None:
+        return None
+    b0, span, _ = geom
+    spos, G = _permuted_gate(gate_m, tuple(int(p) for p in positions))
+    hi = [p for p in spos if p >= 7]
+    lanes = [p for p in spos if p < 7]
+    rels = tuple(p - b0 for p in hi)
+    b_max = hi[0]
+    vshape = (1 << (n - 1 - b_max), 1 << span, 1 << (b0 - 7), 128)
+    vxr = xr.reshape(vshape)
+    vxi = xi.reshape(vshape)
+    a2 = None if acc is None else (acc[0].reshape(vshape),
+                                   acc[1].reshape(vshape))
+    if not lanes:
+        er, ei = op_planes(_span_operator(G, rels, span))
+        yr, yi = high_group_apply_planes(
+            vxr, vxi, jnp.asarray(er), jnp.asarray(ei),
+            dot_mode=config.kernel_dot_mode(), alias=alias, conj=conj,
+            acc=a2, out_dtype=out_dtype, interpret=interpret)
+    else:
+        eh_r, eh_i, el_r, el_i = _lane_span_terms(
+            G, len(hi), rels, span, tuple(lanes))
+        yr, yi = high_multi_apply_planes(
+            vxr, vxi, jnp.asarray(eh_r), jnp.asarray(eh_i),
+            jnp.asarray(el_r), jnp.asarray(el_i),
+            dot_mode=config.kernel_dot_mode(), alias=alias, conj=conj,
+            acc=a2, out_dtype=out_dtype, interpret=interpret)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+def backward_span_eligible(positions, n: int) -> bool:
+    """True when a dense gate on ``positions`` has a ONE-pass fused adjoint
+    (backward_cross_span): span view exists AND no lane bits (lane shapes
+    would need a multi-term backward kernel; they keep the 3-pass path)."""
+    geom = _span_geom(positions, n)
+    return geom is not None and not geom[2]
+
+
+def _span_cotangent(T0, rels, span: int):
+    """Adjoint of expand_in_group: partial trace of the span-block pair-gram
+    over the identity-factor bits. ``T0[x, y] = sum_b bwd[x, b] fwd_in[y, b]``
+    with ``E = expand(G)`` gives ``dL/dG[p, q] = sum_r T0[x(p, r), y(q, r)]``
+    (r = the non-gate span bits, equal on both sides)."""
+    k = len(rels)
+    row_axes = [span - 1 - r for r in rels]
+    others = [a for a in range(span) if a not in row_axes]
+    perm = row_axes + others
+    T4 = T0.reshape((2,) * (2 * span)).transpose(
+        perm + [span + a for a in perm])
+    T4 = T4.reshape(1 << k, 1 << (span - k), 1 << k, 1 << (span - k))
+    return jnp.einsum("arbr->ab", T4)
+
+
+def backward_cross_span(fxr, fxi, bxr, bxi, gate_m, gate_inv, positions,
+                        n: int, *, interpret: bool = False):
+    """ONE-pass adjoint for a span-eligible dense cross-group gate: uncompute
+    (``fwd_in = expand(G^-1) fwd``), cotangent transport
+    (``bwd' = expand(G)^T bwd``), and the gate cotangent — all in a single
+    read of the (fwd, bwd) planes via block_backward_high on the span view
+    (the reference needs three sweeps per gate, circuit.rs:348-362).
+
+    Returns ``(fxr', fxi', bxr', bxi', W)`` with ``W`` the ``(2^k, 2^k)``
+    complex cotangent in the ORIGINAL positions index order, or None when
+    the shape is not backward_span_eligible."""
+    if not backward_span_eligible(positions, n):
+        return None
+    pos = tuple(int(p) for p in positions)
+    b0, span, _ = _span_geom(pos, n)
+    spos, G = _permuted_gate(gate_m, pos)
+    _, Ginv = _permuted_gate(gate_inv, pos)
+    rels = tuple(p - b0 for p in spos)
+    b_max = spos[0]
+    vshape = (1 << (n - 1 - b_max), 1 << span, 1 << (b0 - 7), 128)
+    einv_r, einv_i = op_planes(_span_operator(Ginv, rels, span))
+    e_r, e_i = op_planes(_span_operator(G, rels, span))
+    fr, fi, br, bi, t0r, t0i = block_backward_high(
+        fxr.reshape(vshape), fxi.reshape(vshape),
+        bxr.reshape(vshape), bxi.reshape(vshape),
+        jnp.asarray(einv_r), jnp.asarray(einv_i),
+        jnp.asarray(e_r), jnp.asarray(e_i),
+        dot_mode=config.kernel_dot_mode(), interpret=interpret)
+    W = _span_cotangent(t0r + 1j * t0i, rels, span)
+    k = len(pos)
+    order = sorted(range(k), key=lambda i: -pos[i])
+    if list(order) != list(range(k)):
+        inv = [order.index(i) for i in range(k)]
+        W = W.reshape((2,) * (2 * k)).transpose(
+            inv + [k + i for i in inv]).reshape(1 << k, 1 << k)
+    return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+            br.reshape(bxr.shape), bi.reshape(bxr.shape), W)
+
+
+# ---------------------------------------------------------------------------
 # Diagonals (pure XLA elementwise; adjacent diagonals fuse into one sweep)
 # ---------------------------------------------------------------------------
 

@@ -486,3 +486,134 @@ def test_multi_term_cross_kernels():
     got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(-1)
     np.testing.assert_allclose(got, np.asarray(want).reshape(-1),
                                rtol=4e-5, atol=4e-5)
+
+
+def test_cross_span_shapes():
+    """One-pass span-view dense cross gates (pl.apply_cross_span) vs the
+    grouped-engine reference: (sublane, high), (high, high), all-high
+    3-bit spans, (lane, A-bit), order swaps, and the conj/acc seed and
+    out_dtype storage modes."""
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(77)
+    cases = [
+        (15, (13, 14)),     # sublane-high (the qubit 13-14 ladder boundary)
+        (15, (14, 13)),     # positions order swap
+        (15, (3, 14)),      # lane + A bit
+        (16, (15, 14)),     # two A bits
+        (17, (16, 14)),     # A bits with a gap
+        (17, (16, 15, 14)),  # 3-bit all-high span (>2 groups at scale)
+        (16, (15, 14, 9)),  # 2 A bits + sublane
+        (16, (15, 14, 3)),  # 2 A bits + lane
+        (15, (14, 8, 9)),   # A bit + 2 sublane bits (sub-8 M tile)
+    ]
+    for n, pos in cases:
+        psi = oracles.random_state(rng, n).astype(np.complex64)
+        shape = (1 << (n - 14), 128, 128)
+        xr = jnp.asarray(psi.real.reshape(shape))
+        xi = jnp.asarray(psi.imag.reshape(shape))
+        G = oracles.random_gate(rng, len(pos)).astype(np.complex64)
+        assert pln.cross_span_eligible(pos, n), (n, pos)
+        got = pln.apply_cross_span(xr, xi, G, pos, n, alias=False,
+                                   interpret=True)
+        t = gr.to_grouped(jnp.asarray(psi), n)
+        want = np.asarray(
+            gr.from_grouped(gr.apply_dense(t, jnp.asarray(G), pos, n)))
+        gc = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(-1)
+        np.testing.assert_allclose(gc, want, rtol=4e-5, atol=4e-5 * np.abs(want).max())
+
+    # ineligible shapes fall through to the other paths
+    assert not pln.cross_span_eligible((6, 7), 16)        # minor-minor
+    assert not pln.cross_span_eligible((13, 14), 14)      # no A axis
+    assert not pln.cross_span_eligible((7, 22), 23)       # span > 8 bits
+
+    # seed mode: acc + conj(G x), acc aliased, x preserved; and a fresh
+    # reduced-storage accumulator (out_dtype)
+    n, pos = 15, (13, 14)
+    psi = oracles.random_state(rng, n).astype(np.complex64)
+    shape = (2, 128, 128)
+    xr = jnp.asarray(psi.real.reshape(shape))
+    xi = jnp.asarray(psi.imag.reshape(shape))
+    G = oracles.random_gate(rng, 2).astype(np.complex64)
+    t = gr.to_grouped(jnp.asarray(psi), n)
+    want = np.asarray(
+        gr.from_grouped(gr.apply_dense(t, jnp.asarray(G), pos, n)))
+    acc0 = oracles.random_state(rng, n).astype(np.complex64)
+    sr, si = pln.apply_cross_span(
+        xr, xi, G, pos, n, conj=True,
+        acc=(jnp.asarray(acc0.real.reshape(shape)),
+             jnp.asarray(acc0.imag.reshape(shape))), interpret=True)
+    got_seed = (np.asarray(sr) + 1j * np.asarray(si)).reshape(-1)
+    np.testing.assert_allclose(got_seed, acc0 + np.conj(want), rtol=4e-5,
+                               atol=4e-5 * np.abs(want).max())
+
+    br, bi = pln.apply_cross_span(xr, xi, G, pos, n, conj=True,
+                                  out_dtype=jnp.bfloat16, interpret=True)
+    assert br.dtype == jnp.bfloat16
+    got_b = (np.asarray(br, np.float32) + 1j * np.asarray(bi, np.float32)).reshape(-1)
+    np.testing.assert_allclose(got_b, np.conj(want), rtol=3e-2,
+                               atol=3e-2 * np.abs(want).max())
+
+
+def test_backward_cross_span():
+    """One-pass fused adjoint for span-eligible dense cross gates
+    (pl.backward_cross_span) vs the separate uncompute / pair-grad /
+    transport reference on the grouped engine."""
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(99)
+    cases = [
+        (15, (13, 14)),
+        (15, (14, 13)),     # order swap exercises the W un-permute
+        (16, (15, 14)),
+        (17, (16, 14)),
+        (17, (16, 15, 14)),
+        (15, (14, 8, 9)),
+    ]
+    for n, pos in cases:
+        k = len(pos)
+        psi_f = oracles.random_state(rng, n).astype(np.complex64)
+        psi_b = oracles.random_state(rng, n).astype(np.complex64)
+        G = oracles.random_unitary(rng, k).astype(np.complex64)
+        Ginv = np.conj(G.T)
+        assert pln.backward_span_eligible(pos, n), (n, pos)
+
+        shape = (1 << (n - 14), 128, 128)
+        fxr = jnp.asarray(psi_f.real.reshape(shape))
+        fxi = jnp.asarray(psi_f.imag.reshape(shape))
+        bxr = jnp.asarray(psi_b.real.reshape(shape))
+        bxi = jnp.asarray(psi_b.imag.reshape(shape))
+        out = pln.backward_cross_span(fxr, fxi, bxr, bxi, G, Ginv, pos, n,
+                                      interpret=True)
+        assert out is not None
+        fr, fi, br, bi, W = out
+
+        # reference: grouped-engine uncompute + transport; dense pair-grad
+        t = gr.to_grouped(jnp.asarray(psi_f), n)
+        f_in = np.asarray(
+            gr.from_grouped(gr.apply_dense(t, jnp.asarray(Ginv), pos, n)))
+        tb = gr.to_grouped(jnp.asarray(psi_b), n)
+        b_out = np.asarray(
+            gr.from_grouped(gr.apply_dense(tb, jnp.asarray(G.T), pos, n)))
+        # W[p, q] = sum_b bwd[p, b] fwd_in[q, b] over subblocks
+        F = np.asarray(gr.subblocks(
+            jnp.asarray(f_in.reshape(gr.group_dims(n))), pos, n))
+        B = np.asarray(gr.subblocks(
+            jnp.asarray(psi_b.reshape(gr.group_dims(n))), pos, n))
+        W_want = B @ F.T
+
+        got_f = (np.asarray(fr) + 1j * np.asarray(fi)).reshape(-1)
+        got_b = (np.asarray(br) + 1j * np.asarray(bi)).reshape(-1)
+        tol = dict(rtol=4e-5, atol=4e-5)
+        np.testing.assert_allclose(got_f, f_in, **tol)
+        np.testing.assert_allclose(got_b, b_out, **tol)
+        np.testing.assert_allclose(np.asarray(W), W_want, rtol=2e-4,
+                                   atol=2e-4 * np.abs(W_want).max())
+
+    # lane shapes have no fused adjoint (multi-term backward not built)
+    assert not pln.backward_span_eligible((3, 14), 15)
+    assert pln.backward_cross_span(
+        jnp.zeros((2, 128, 128)), jnp.zeros((2, 128, 128)),
+        jnp.zeros((2, 128, 128)), jnp.zeros((2, 128, 128)),
+        np.eye(4, dtype=np.complex64), np.eye(4, dtype=np.complex64),
+        (3, 14), 15) is None
