@@ -171,7 +171,43 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
             items.append(("dense", i, j))
     if run:
         items.extend(_split_diag_run(run))
-    return _pair_diag_into_dual(_pair_top_groups(tuple(items), ftape), ftape)
+    items = _sink_diag_items(tuple(items), ftape)
+    return _pair_diag_into_dual(_pair_top_groups(items, ftape), ftape)
+
+
+def _sink_diag_items(items: Tuple[Tuple, ...], ftape: FusedTape):
+    """Commutation-aware canonicalization: move every diagonal item
+    (``diag`` run / ``mdiag``) as LATE as possible — diagonals all commute
+    with each other, and with dense sweeps on disjoint groups — then merge
+    adjacent runs into ONE fused kernel pass. A rotations-then-entanglers
+    layer (the hardware-efficient shape) collapses from one diag run per
+    group stretch to a single run per layer (29q: 7 forward passes -> 4);
+    an entanglers-then-rotations layer (VQE/QAOA) is left as-is for the
+    ddual fold. Exact: only commuting items are reordered, so the function
+    and every gradient are identical. Density readouts (``dens``) are
+    barriers — nothing moves across them."""
+    out: List[Tuple] = []
+    for item in items:
+        if item[0] in ("diag", "mdiag", "dens"):
+            out.append(item)
+            continue
+        # equivalently: sink the trailing diagonals past this dense item
+        # when their touched groups are disjoint
+        k = len(out)
+        touched = _item_touched(item, ftape)
+        while k > 0 and out[k - 1][0] in ("diag", "mdiag") and not (
+                _item_touched(out[k - 1], ftape) & touched):
+            k -= 1
+        out.insert(k, item)
+    merged: List[Tuple] = []
+    for item in out:
+        if item[0] == "diag" and merged and merged[-1][0] == "diag":
+            merged[-1] = ("diag", merged[-1][1] + item[1])
+        else:
+            merged.append(item)
+    return tuple(merged)
+
+
 
 
 def _pair_diag_into_dual(items: Tuple[Tuple, ...], ftape: FusedTape):

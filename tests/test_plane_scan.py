@@ -922,3 +922,41 @@ def test_dist_plane_std_pipeline_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_1), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_1),
                                rtol=3e-4, atol=3e-5)
+
+
+def test_sink_diag_items_schedule():
+    """Commutation-aware diag sinking: a rotations-then-entanglers layer
+    collapses to one diag run per layer; overlapping dense sweeps and
+    density readouts are barriers; the VQE shape keeps its ddual fold."""
+    from dqc_tpu.circuit.plane_scan import plane_program
+
+    n = 29
+    ftape, _, _ = build_layer(n, seed=3)
+    prog = plane_program(ftape)
+    kinds = [it[0] for it in prog]
+    # all diagonals merged into ONE trailing run; dense sweeps first
+    assert kinds.count("diag") == 1, kinds
+    assert kinds[-1] == "diag", kinds
+    fwd = sum(1 for k in kinds)  # one pass per item in this program
+    assert fwd <= 5, kinds
+
+    # entanglers-FIRST layer: the run folds into the dual sweep (ddual)
+    c = AutoGradCircuit(n, dtype=C64)
+    cz = np.array([1, 1, 1, -1], dtype=np.complex64)
+    for i in range(n - 1):
+        c.add_q2_const_gate_diag(i, i + 1)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    ft2 = fuse_layer(c.tape)
+    kinds2 = [it[0] for it in plane_program(ft2)]
+    assert "ddual" in kinds2, kinds2
+
+    # density readout is a barrier: a diag AFTER the readout must not
+    # merge with one before it
+    c3 = AutoGradCircuit(n, dtype=C64)
+    c3.add_q2_const_gate_diag(0, 1)
+    c3.get_q1_dens_op(5)
+    c3.add_q2_const_gate_diag(2, 3)
+    ft3 = fuse_tape(c3.tape)
+    kinds3 = [it[0] for it in plane_program(ft3)]
+    assert kinds3 == ["diag", "dens", "diag"], kinds3
