@@ -533,6 +533,9 @@ def estimate_hbm_passes(ftape: FusedTape,
     gates use the positions-derived 4^ka bound.
     """
     program = plane_program(ftape)
+    rot = _rotatable_const_diag(program, ftape)
+    if rot is not None:
+        program = rot[1]  # amortized per-layer cost = the rotated body
     n = ftape.n
     fwd = bwd = 0.0
     for item in program:
@@ -1212,6 +1215,104 @@ def _scan_unroll(n: int, stacked_var_gates) -> int:
     return _SCAN_UNROLL
 
 
+def _rotatable_const_diag(program, ftape: FusedTape):
+    """Scan-rotation eligibility: the program ends with a CONST diagonal run
+    that, moved to the front, ddual-folds into the layer's minor dual sweep.
+    Then ``(R D)^L = D (R D)^(L-1) R``: head once, the folded body L-1
+    times, the run once — saving one full-state pass per layer each way
+    (29q hardware-efficient: 12 -> 9 passes/layer). Returns
+    ``(head, rotated_body, diag_item)`` or None."""
+    if len(program) < 2 or program[-1][0] != "diag":
+        return None
+    diag_item = program[-1]
+    if _run_has_var(diag_item[1], ftape):
+        return None
+    head = program[:-1]
+    rotated = _pair_diag_into_dual((diag_item,) + head, ftape)
+    if not rotated or rotated[0][0] != "ddual":
+        return None
+    return head, rotated, diag_item
+
+
+def _scan_layers_forward(xr, xi, ftape: FusedTape, program, stacked_var_gates,
+                        const_gates):
+    """Forward L layers of ``program`` on planes under ``lax.scan``, with
+    the const-trailing-diag rotation when eligible."""
+    n = ftape.n
+    rot = _rotatable_const_diag(program, ftape)
+    if rot is not None and _num_layers(stacked_var_gates) >= 2:
+        head, rotated, diag_item = rot
+        first = tuple(g[0] for g in stacked_var_gates)
+        rest = tuple(g[1:] for g in stacked_var_gates)
+        xr, xi = _apply_forward(xr, xi, head, ftape, first, const_gates)
+
+        def body(carry, layer_gates):
+            cr, ci = carry
+            cr, ci = _apply_forward(cr, ci, rotated, ftape, layer_gates,
+                                    const_gates)
+            return (cr, ci), None
+
+        (xr, xi), _ = jax.lax.scan(body, (xr, xi), rest,
+                                   unroll=_scan_unroll(n, rest))
+        return _apply_forward(xr, xi, (diag_item,), ftape, first, const_gates)
+
+    def body(carry, layer_gates):
+        cr, ci = carry
+        cr, ci = _apply_forward(cr, ci, program, ftape, layer_gates,
+                                const_gates)
+        return (cr, ci), None
+
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
+                               unroll=_scan_unroll(n, stacked_var_gates))
+    return xr, xi
+
+
+def _scan_layers_backward(fxr, fxi, bxr, bxi, ftape: FusedTape, program,
+                          stacked_var_gates, const_gates):
+    """Reverse-scan the adjoint of L layers, mirroring the rotation of
+    _scan_layers_forward. Returns ``((fxr, fxi, bxr, bxi), stacked_cts)``."""
+    n = ftape.n
+
+    def make_body(prog):
+        def body(carry, layer_gates):
+            cfr, cfi, cbr, cbi = carry
+            var_cts: Dict[int, jax.Array] = {}
+            cfr, cfi, cbr, cbi = _backward_program(
+                cfr, cfi, cbr, cbi, prog, ftape, layer_gates, const_gates,
+                var_cts)
+            layer_cts = tuple(
+                _match_ct(var_cts[q], layer_gates[q])
+                for q in range(len(layer_gates)))
+            return (cfr, cfi, cbr, cbi), layer_cts
+        return body
+
+    rot = _rotatable_const_diag(program, ftape)
+    if rot is not None and _num_layers(stacked_var_gates) >= 2:
+        head, rotated, diag_item = rot
+        first = tuple(g[0] for g in stacked_var_gates)
+        rest = tuple(g[1:] for g in stacked_var_gates)
+        no_cts: Dict[int, jax.Array] = {}
+        fxr, fxi, bxr, bxi = _backward_program(
+            fxr, fxi, bxr, bxi, (diag_item,), ftape, first, const_gates,
+            no_cts)
+        (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
+            make_body(rotated), (fxr, fxi, bxr, bxi), rest,
+            reverse=True, unroll=_scan_unroll(n, rest))
+        var_cts0: Dict[int, jax.Array] = {}
+        fxr, fxi, bxr, bxi = _backward_program(
+            fxr, fxi, bxr, bxi, head, ftape, first, const_gates, var_cts0)
+        first_cts = tuple(_match_ct(var_cts0[q], first[q])
+                          for q in range(len(first)))
+        full = tuple(jnp.concatenate([c0[None], cs], axis=0)
+                     for c0, cs in zip(first_cts, stacked_cts))
+        return (fxr, fxi, bxr, bxi), full
+
+    (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
+        make_body(program), (fxr, fxi, bxr, bxi), stacked_var_gates,
+        reverse=True, unroll=_scan_unroll(n, stacked_var_gates))
+    return (fxr, fxi, bxr, bxi), stacked_cts
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
                          const_gates):
@@ -1219,16 +1320,10 @@ def plane_scanned_layers(ftape: FusedTape, initial_state, stacked_var_gates,
     complex statevector. Contract identical to scan.scanned_layers."""
     n = ftape.n
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        xr, xi = carry
-        xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
-        return (xr, xi), None
-
     xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n,
                           config.fwd_plane_dtype())
-    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
-                               unroll=_scan_unroll(n, stacked_var_gates))
+    xr, xi = _scan_layers_forward(xr, xi, ftape, program, stacked_var_gates,
+                                  const_gates)
     return pl.from_planes(xr, xi, n)
 
 
@@ -1242,25 +1337,11 @@ def _bwd(ftape, residuals, ct):
     final, initial_state, stacked_var_gates, const_gates = residuals
     n = ftape.n
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        fxr, fxi, bxr, bxi = carry
-        var_cts: Dict[int, jax.Array] = {}
-        fxr, fxi, bxr, bxi = _backward_program(
-            fxr, fxi, bxr, bxi, program, ftape, layer_gates, const_gates,
-            var_cts)
-        layer_cts = tuple(
-            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
-        )
-        return (fxr, fxi, bxr, bxi), layer_cts
-
     fxr, fxi = pl.to_planes(jnp.asarray(final), n, config.fwd_plane_dtype())
     bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n,
                             config.bwd_plane_dtype())
-    (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
-        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
-        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
-    )
+    (fxr, fxi, bxr, bxi), stacked_cts = _scan_layers_backward(
+        fxr, fxi, bxr, bxi, ftape, program, stacked_var_gates, const_gates)
     init_ref = jnp.asarray(initial_state)
     state_ct = pl.from_planes(bxr, bxi, n).astype(init_ref.dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
@@ -1528,16 +1609,10 @@ def _scan_densities_impl(ftape: FusedTape, epi_ftape: FusedTape, initial_state,
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        xr, xi = carry
-        xr, xi = _apply_forward(xr, xi, program, ftape, layer_gates, const_gates)
-        return (xr, xi), None
-
     xr, xi = pl.to_planes(jnp.asarray(initial_state).astype(C64), n,
                           config.fwd_plane_dtype())
-    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
-                               unroll=_scan_unroll(n, stacked_var_gates))
+    xr, xi = _scan_layers_forward(xr, xi, ftape, program, stacked_var_gates,
+                                  const_gates)
 
     return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
@@ -1581,22 +1656,8 @@ def _psd_bwd(ftape, epi_ftape, residuals, density_cts):
 
     # reverse layer scan, identical to plane_scanned_layers' backward
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        fxr, fxi, bxr, bxi = carry
-        var_cts: Dict[int, jax.Array] = {}
-        fxr, fxi, bxr, bxi = _backward_program(
-            fxr, fxi, bxr, bxi, program, ftape, layer_gates, const_gates,
-            var_cts)
-        layer_cts = tuple(
-            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
-        )
-        return (fxr, fxi, bxr, bxi), layer_cts
-
-    (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
-        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
-        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
-    )
+    (fxr, fxi, bxr, bxi), stacked_cts = _scan_layers_backward(
+        fxr, fxi, bxr, bxi, ftape, program, stacked_var_gates, const_gates)
     state_ct = pl.from_planes(bxr, bxi, n).astype(state_dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return state_ct, stacked_cts, const_cts
@@ -1667,14 +1728,8 @@ def _std_impl(pro_ftape, ftape, epi_ftape, pro_const_gates, stacked_var_gates,
                                 (), pro_const_gates)
 
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        cr, ci = carry
-        cr, ci = _apply_forward(cr, ci, program, ftape, layer_gates, const_gates)
-        return (cr, ci), None
-
-    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates,
-                               unroll=_scan_unroll(n, stacked_var_gates))
+    xr, xi = _scan_layers_forward(xr, xi, ftape, program, stacked_var_gates,
+                                  const_gates)
 
     return _epilogue_density_list(epi_ftape, xr, xi, n), (xr, xi)
 
@@ -1704,25 +1759,11 @@ def _std_bwd(pro_ftape, ftape, epi_ftape, residuals, density_cts):
 
     bxr, bxi = _seed_apply(fxr, fxi, pending, n, interp)
 
+    # reverse layer scan stops at the prologue: it is const-only and the
+    # initial state needs no cotangent, so neither state is rolled through it
     program = plane_program(ftape)
-
-    def body(carry, layer_gates):
-        cfxr, cfxi, cbxr, cbxi = carry
-        var_cts: Dict[int, jax.Array] = {}
-        cfxr, cfxi, cbxr, cbxi = _backward_program(
-            cfxr, cfxi, cbxr, cbxi, program, ftape, layer_gates, const_gates,
-            var_cts)
-        layer_cts = tuple(
-            _match_ct(var_cts[q], layer_gates[q]) for q in range(len(layer_gates))
-        )
-        return (cfxr, cfxi, cbxr, cbxi), layer_cts
-
-    # reverse scan stops at the prologue: it is const-only and the initial
-    # state needs no cotangent, so neither state is rolled through it
-    (_, _, _, _), stacked_cts = jax.lax.scan(
-        body, (fxr, fxi, bxr, bxi), stacked_var_gates,
-        reverse=True, unroll=_scan_unroll(n, stacked_var_gates),
-    )
+    _, stacked_cts = _scan_layers_backward(
+        fxr, fxi, bxr, bxi, ftape, program, stacked_var_gates, const_gates)
     return pro_cts, stacked_cts, const_cts
 
 

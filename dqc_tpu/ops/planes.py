@@ -565,19 +565,25 @@ def backward_span_eligible(positions, n: int) -> bool:
     return geom is not None and not geom[2]
 
 
-def _span_cotangent(T0, rels, span: int):
+def _span_cotangent(t0r, t0i, rels, span: int):
     """Adjoint of expand_in_group: partial trace of the span-block pair-gram
     over the identity-factor bits. ``T0[x, y] = sum_b bwd[x, b] fwd_in[y, b]``
     with ``E = expand(G)`` gives ``dL/dG[p, q] = sum_r T0[x(p, r), y(q, r)]``
-    (r = the non-gate span bits, equal on both sides)."""
+    (r = the non-gate span bits, equal on both sides). Real-pair in /
+    complex out — the TPU backend has no complex diagonal-einsum lowering
+    for eager calls."""
     k = len(rels)
     row_axes = [span - 1 - r for r in rels]
     others = [a for a in range(span) if a not in row_axes]
     perm = row_axes + others
-    T4 = T0.reshape((2,) * (2 * span)).transpose(
-        perm + [span + a for a in perm])
-    T4 = T4.reshape(1 << k, 1 << (span - k), 1 << k, 1 << (span - k))
-    return jnp.einsum("arbr->ab", T4)
+
+    def red(T0):
+        T4 = T0.reshape((2,) * (2 * span)).transpose(
+            perm + [span + a for a in perm])
+        T4 = T4.reshape(1 << k, 1 << (span - k), 1 << k, 1 << (span - k))
+        return jnp.trace(T4, axis1=1, axis2=3)
+
+    return jax.lax.complex(red(t0r.astype(F32)), red(t0i.astype(F32)))
 
 
 def backward_cross_span(fxr, fxi, bxr, bxi, gate_m, gate_inv, positions,
@@ -608,7 +614,7 @@ def backward_cross_span(fxr, fxi, bxr, bxi, gate_m, gate_inv, positions,
         jnp.asarray(einv_r), jnp.asarray(einv_i),
         jnp.asarray(e_r), jnp.asarray(e_i),
         dot_mode=config.kernel_dot_mode(), interpret=interpret)
-    W = _span_cotangent(t0r + 1j * t0i, rels, span)
+    W = _span_cotangent(t0r, t0i, rels, span)
     k = len(pos)
     order = sorted(range(k), key=lambda i: -pos[i])
     if list(order) != list(range(k)):

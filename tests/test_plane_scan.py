@@ -960,3 +960,52 @@ def test_sink_diag_items_schedule():
     ft3 = fuse_tape(c3.tape)
     kinds3 = [it[0] for it in plane_program(ft3)]
     assert kinds3 == ["diag", "dens", "diag"], kinds3
+
+
+def test_rotated_scan_parity(plane_mode):
+    """Const trailing diag run -> rotated scan ((R D)^L = D (R D)^(L-1) R):
+    value + every cotangent match the XLA engine through BOTH custom_vjp
+    paths (plane_scanned_layers and the std scan+epilogue op)."""
+    from dqc_tpu.circuit.plane_scan import (_rotatable_const_diag,
+                                            plane_program)
+
+    n = 14
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    consts = []
+    cz = np.array([1, 1, 1, -1], dtype=np.complex64)
+    for i in range(n - 1):
+        c.add_q2_const_gate_diag(i, i + 1)
+        consts.append(cz)
+    ftape = fuse_layer(c.tape)
+    assert _rotatable_const_diag(plane_program(ftape), ftape) is not None
+
+    L = 3
+    stacked = tuple(
+        jnp.asarray(np.stack([rand_su2(np.random.default_rng(31 * l + q))
+                              for l in range(L)]))
+        for q in range(n))
+    init = rand_state(n, seed=5)
+
+    def loss_with(layers_fn):
+        def loss(stacked_gates, init_state):
+            state = layers_fn(ftape, init_state, stacked_gates, tuple(consts))
+            return jnp.sum(jnp.abs(state[:64]) ** 2).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(
+        loss_with(_scanned_layers_xla), argnums=(0, 1))(stacked, init)
+    v_pl, g_pl = jax.value_and_grad(
+        loss_with(plane_scanned_layers), argnums=(0, 1))(stacked, init)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # L=1 degenerates to the unrotated path
+    one = tuple(g[:1] for g in stacked)
+    v1r = loss_with(_scanned_layers_xla)(one, init)
+    v1p = loss_with(plane_scanned_layers)(one, init)
+    np.testing.assert_allclose(float(v1p), float(v1r), rtol=2e-5)

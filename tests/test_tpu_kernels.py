@@ -371,3 +371,80 @@ def test_ddual_fused_kernels_on_hardware():
     assert e_f < 5e-3, e_f
     assert e_b < 5e-3, e_b
     assert e_q < 5e-2, e_q
+
+
+@skip_no_tpu
+def test_cross_span_kernels_on_hardware():
+    """Span-view dense cross-group gates compiled on the chip: forward
+    (apply_cross_span, incl. a lane-factor shape) and the fused one-pass
+    adjoint (backward_cross_span) vs numpy oracles."""
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(17)
+
+    def rand_state(n):
+        v = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+        return (v / np.linalg.norm(v)).astype(np.complex64)
+
+    def rand_unitary(k):
+        m = rng.standard_normal((1 << k, 1 << k)) + 1j * rng.standard_normal(
+            (1 << k, 1 << k))
+        q, _ = np.linalg.qr(m)
+        return q.astype(np.complex64)
+
+    def apply_np(state, g, pos, n):
+        k = len(pos)
+        t = state.reshape((2,) * n).astype(np.complex128)
+        axes = [n - 1 - p for p in pos]
+        gt = np.asarray(g).reshape((2,) * (2 * k)).astype(np.complex128)
+        moved = np.moveaxis(t, axes, range(k))
+        out = np.tensordot(gt, moved,
+                           axes=(list(range(k, 2 * k)), list(range(k))))
+        return np.moveaxis(out, range(k), axes).reshape(-1)
+
+    n = 16
+    shape = (1 << (n - 14), 128, 128)
+    for pos in [(13, 14), (15, 14), (3, 14)]:
+        st = rand_state(n)
+        g = rand_unitary(len(pos))
+        xr = jnp.asarray(np.ascontiguousarray(st.real.reshape(shape)))
+        xi = jnp.asarray(np.ascontiguousarray(st.imag.reshape(shape)))
+        got = pln.apply_cross_span(xr, xi, g, pos, n, alias=False)
+        assert got is not None, pos
+        gc = (np.asarray(got[0], np.float64)
+              + 1j * np.asarray(got[1], np.float64)).reshape(-1)
+        want = apply_np(st, g, pos, n)
+        err = np.abs(gc - want).max() / np.abs(want).max()
+        assert err < 5e-6, (pos, err)
+
+    pos = (15, 14)
+    f = rand_state(n)
+    b = rand_state(n)
+    g = rand_unitary(2)
+    fr = jnp.asarray(np.ascontiguousarray(f.real.reshape(shape)))
+    fi = jnp.asarray(np.ascontiguousarray(f.imag.reshape(shape)))
+    br = jnp.asarray(np.ascontiguousarray(b.real.reshape(shape)))
+    bi = jnp.asarray(np.ascontiguousarray(b.imag.reshape(shape)))
+    out = pln.backward_cross_span(fr, fi, br, bi, g, np.conj(g.T), pos, n)
+    assert out is not None
+    nfr, nfi, nbr, nbi, W = out
+    f_in = apply_np(f, np.conj(g.T), pos, n)
+    b_out = apply_np(b, g.T, pos, n)
+    got_f = (np.asarray(nfr, np.float64)
+             + 1j * np.asarray(nfi, np.float64)).reshape(-1)
+    got_b = (np.asarray(nbr, np.float64)
+             + 1j * np.asarray(nbi, np.float64)).reshape(-1)
+    assert np.abs(got_f - f_in).max() < 5e-6
+    assert np.abs(got_b - b_out).max() < 5e-6
+    # W oracle: subblock pair-gram over the 4 basis projections
+    k = len(pos)
+    W_want = np.zeros((1 << k, 1 << k), np.complex128)
+    for p in range(1 << k):
+        for q in range(1 << k):
+            E = np.zeros((1 << k, 1 << k))
+            E[p, q] = 1.0
+            W_want[p, q] = np.vdot(np.conj(b), apply_np(f_in, E, pos, n))
+    # fetch W via the real-pair boundary (axon cannot D2H complex arrays)
+    Wp = np.asarray(jnp.stack([jnp.real(W), jnp.imag(W)]), np.float64)
+    W_got = Wp[0] + 1j * Wp[1]
+    assert np.abs(W_got - W_want).max() / np.abs(W_want).max() < 2e-4
