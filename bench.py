@@ -189,10 +189,16 @@ def main():
         # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding).
         # Runs in a SUBPROCESS: the 30q program needs the chip's full HBM,
         # and leftover device state from the headline run faults it.
+        # Depth is capped (default 48): a single 30q fwd+grad step at
+        # depth-100 runs ~80 s on-device and trips the backend's execution
+        # watchdog (measured: 48L = 38 s OK, 100L = UNAVAILABLE device
+        # error); gates/sec is depth-insensitive past ~20 layers.
         import subprocess
 
         env = dict(os.environ,
                    DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
+                   DQC_BENCH_LAYERS=os.environ.get("DQC_BENCH_30Q_LAYERS",
+                                                   "48"),
                    DQC_BENCH_30Q="0")
         try:
             out = subprocess.run(
