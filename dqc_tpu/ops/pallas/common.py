@@ -24,6 +24,11 @@ def blk4(i, j):
     return (i, _Z, j, _Z)
 
 
+def blk4a(i):
+    """(A1, X, 128, 128) full-column view on a 1-dim grid: block (i, :, :, :)."""
+    return (i, _Z, _Z, _Z)
+
+
 def blk2(i):
     """Grid-major block over a rank-2 (A, 128) table/partial."""
     return (i, _Z)

@@ -233,10 +233,43 @@ def test_diag_backward_planes_matches_oracle(with_q):
         assert Qk is None
 
 
+def test_merged_tiny_top_dispatch():
+    """n=22 -> groups (7,7,7,1): a dense op on the 1-bit top group must
+    DISPATCH to the merged-axis kernel (kron(E, I) on a 256 axis), not the
+    slice-and-stack fallback (the 29q OOM driver). Pure dispatch check —
+    the kernel is stubbed out; numerics live in the slow tier
+    (test_merged_tiny_top_group_paths)."""
+    from dqc_tpu.ops import planes as pln
+
+    n = 22
+    j = 3
+    seen = {}
+
+    def stub(vxr, vxi, er, ei, **kw):
+        seen["X"] = vxr.shape[1]
+        seen["op"] = er.shape
+        return vxr, vxi
+
+    orig = pln.high_group_apply_planes
+    pln.high_group_apply_planes = stub
+    try:
+        shape = (1 << (n - 14), 128, 128)
+        xr = jnp.zeros(shape, jnp.float32)
+        E = jnp.eye(2, dtype=jnp.complex64)
+        pln.apply_high(xr, xr, E, j, n, interpret=True)
+    finally:
+        pln.high_group_apply_planes = orig
+    # merged view: the 1-bit top group rides on the 128-dim group below it
+    assert seen["X"] == 256 and seen["op"] == (256, 256), seen
+
+
+@pytest.mark.slow
 def test_merged_tiny_top_group_paths():
     """n=22 -> groups (7,7,7,1): dense apply / backward / Gram on the 1-bit
     top group must take the merged-axis kernel (kron(E, I) on a 256 axis),
-    not the slice-and-stack fallback (the 29q OOM driver)."""
+    not the slice-and-stack fallback (the 29q OOM driver). Slow tier: the
+    n=22 interpret-mode kernels are the heaviest default-suite item
+    (~56 s); the fast dispatch assertion above runs by default."""
     from dqc_tpu.ops import planes as pln
 
     n = 22
