@@ -200,3 +200,31 @@ def fwd_plane_dtype():
 def bwd_plane_dtype():
     """Storage dtype of the cotangent statevector planes."""
     return jnp.float32 if _STATE_STORAGE == "f32" else jnp.bfloat16
+
+
+# Dot mode for the COTANGENT-side contractions of the backward kernels
+# (cotangent transport ``b' = E^T b`` and the pair-grams). "auto": when the
+# cotangent planes are stored bf16 ("mixed"/"bf16" storage), these dots run
+# bf16x3 — the b operands are bf16-rounded at every store anyway, so the
+# 6-pass f32-HIGHEST decomposition buys nothing there (the added dot error
+# ~1e-5 sits well under the ~4e-3 per-pass storage rounding) while the
+# backward kernels are MXU-bound (BENCHMARKS.md round 3). The forward-state
+# UNCOMPUTE always keeps the exact dot mode: its error would compound into
+# every earlier layer's gram. Override with DQC_BWD_KERNEL_DOT=f32|bf16x3.
+_BWD_KERNEL_DOT_MODE = _os.environ.get("DQC_BWD_KERNEL_DOT", "auto")
+
+
+def set_bwd_kernel_dot_mode(mode: str) -> None:
+    if mode not in ("auto", "f32", "bf16x3"):
+        raise ValueError("bwd kernel dot mode must be 'auto', 'f32' or "
+                         "'bf16x3'")
+    global _BWD_KERNEL_DOT_MODE
+    _BWD_KERNEL_DOT_MODE = mode
+
+
+def bwd_kernel_dot_mode() -> str:
+    if _BWD_KERNEL_DOT_MODE == "auto":
+        if _STATE_STORAGE in ("mixed", "bf16"):
+            return "bf16x3"
+        return kernel_dot_mode()
+    return _BWD_KERNEL_DOT_MODE

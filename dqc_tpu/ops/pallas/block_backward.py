@@ -31,12 +31,13 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, dot_mode,
+def _kernel(a_blk, dot_mode, bwd_dot_mode,
             fr_ref, fi_ref, br_ref, bi_ref,
             inv_t1, inv_t2, inv_t3,      # Karatsuba operands of E^-1 (transposed)
             e_t1, e_t2, e_t3,            # Karatsuba operands of E (right-multiply)
             fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
+    bdot = make_dot(bwd_dot_mode)  # cotangent transport + pair-gram dots
 
     # plane refs may be stored reduced (config.set_state_storage): loads
     # upcast to f32, all VMEM compute is f32, stores downcast
@@ -56,17 +57,17 @@ def _kernel(a_blk, dot_mode,
 
     # bwd' = bwd @ E   (transport by E^T on the lane axis)
     sb = br + bi
-    v1 = dot(sb, e_t1[:])
-    v2 = dot(bi, e_t2[:])
-    v3 = dot(br, e_t3[:])
+    v1 = bdot(sb, e_t1[:])
+    v2 = bdot(bi, e_t2[:])
+    v3 = bdot(br, e_t3[:])
     bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape).astype(bnr_ref.dtype)
     bni_ref[:] = (v1 + v3).reshape(bni_ref.shape).astype(bni_ref.dtype)
 
     # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram)
     # Karatsuba, reusing the transport's (br+bi) operand: 3 dots, not 4
-    p1 = dot(br.T, fir)
-    p2 = dot(bi.T, fii)
-    p3 = dot(sb.T, fir + fii)
+    p1 = bdot(br.T, fir)
+    p2 = bdot(bi.T, fii)
+    p3 = bdot(sb.T, fir + fii)
     t0r = p1 - p2
     t0i = p3 - p1 - p2
 
@@ -79,9 +80,11 @@ def _kernel(a_blk, dot_mode,
     t0i_ref[:] += t0i
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode",
+                                             "bwd_dot_mode", "interpret"))
 def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                         *, a_blk: int = 4, dot_mode: str = "f32",
+                        bwd_dot_mode: str = None,
                         interpret: bool = False):
     """One-pass adjoint step for a lane-group block.
 
@@ -99,7 +102,8 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     e_t = e_r, e_r + e_i, e_i - e_r
     bs = cm.blk3
     es = cm.fixed2
-    kern = functools.partial(_kernel, a_blk, dot_mode)
+    kern = functools.partial(_kernel, a_blk, dot_mode,
+                             bwd_dot_mode or dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)  # fwd pair keeps its storage
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)  # bwd pair keeps its storage
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -121,12 +125,13 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     )(fr, fi, br, bi, *inv_t, *e_t)
 
 
-def _kernel_sub(a_blk, dot_mode,
+def _kernel_sub(a_blk, dot_mode, bwd_dot_mode,
                 fr_ref, fi_ref, br_ref, bi_ref,
                 inv1, inv2, inv3,        # Karatsuba operands of E^-1 (left-mult)
                 e1, e2, e3,              # Karatsuba operands of E^T (left-mult)
                 fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
+    bdot = make_dot(bwd_dot_mode)
 
     t0r_acc = jnp.zeros((128, 128), F32)
     t0i_acc = jnp.zeros((128, 128), F32)
@@ -145,16 +150,16 @@ def _kernel_sub(a_blk, dot_mode,
         fii_ref[a, :, :] = fii.astype(fii_ref.dtype)
         # bwd' = E^T @ bwd
         sb = br + bi
-        v1 = dot(e1[:], sb)
-        v2 = dot(e2[:], bi)
-        v3 = dot(e3[:], br)
+        v1 = bdot(e1[:], sb)
+        v2 = bdot(e2[:], bi)
+        v3 = bdot(e3[:], br)
         bnr_ref[a, :, :] = (v1 - v2).astype(bnr_ref.dtype)
         bni_ref[a, :, :] = (v1 + v3).astype(bni_ref.dtype)
         # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
         # Karatsuba (3 dots), reusing the transport's (br+bi) operand
-        p1 = dot(br, fir.T)
-        p2 = dot(bi, fii.T)
-        p3 = dot(sb, (fir + fii).T)
+        p1 = bdot(br, fir.T)
+        p2 = bdot(bi, fii.T)
+        p3 = bdot(sb, (fir + fii).T)
         t0r_acc += p1 - p2
         t0i_acc += p3 - p1 - p2
 
@@ -167,9 +172,11 @@ def _kernel_sub(a_blk, dot_mode,
     t0i_ref[:] += t0i_acc
 
 
-@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode",
+                                             "bwd_dot_mode", "interpret"))
 def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                            *, a_blk: int = 4, dot_mode: str = "f32",
+                           bwd_dot_mode: str = None,
                            interpret: bool = False):
     """One-pass adjoint step for a sublane-group (qubits 7..13) block.
 
@@ -185,7 +192,8 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = cm.blk3
     es = cm.fixed2
-    kern = functools.partial(_kernel_sub, a_blk, dot_mode)
+    kern = functools.partial(_kernel_sub, a_blk, dot_mode,
+                             bwd_dot_mode or dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -220,7 +228,7 @@ def _diag_tile_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     return _cmul(xr, xi, mr, mi)
 
 
-def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
+def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
                  l_e1, l_e2, l_e3,         # lane E0 (right-mult for transport)
@@ -243,6 +251,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
         (fir_ref, fii_ref, bnr_ref, bni_ref,
          t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref) = rest
     dot = make_dot(dot_mode)
+    bdot = make_dot(bwd_dot_mode)
 
     t0l_r = jnp.zeros((128, 128), F32)
     t0l_i = jnp.zeros((128, 128), F32)
@@ -257,14 +266,14 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
         u3 = dot(fr, l_inv3[:])
         f0r, f0i = u1 - u2, u1 + u3
         sb = br + bi
-        p1 = dot(br.T, f0r)
-        p2 = dot(bi.T, f0i)
-        p3 = dot(sb.T, f0r + f0i)
+        p1 = bdot(br.T, f0r)
+        p2 = bdot(bi.T, f0i)
+        p3 = bdot(sb.T, f0r + f0i)
         tr = p1 - p2
         ti = p3 - p1 - p2
-        v1 = dot(sb, l_e1[:])
-        v2 = dot(bi, l_e2[:])
-        v3 = dot(br, l_e3[:])
+        v1 = bdot(sb, l_e1[:])
+        v2 = bdot(bi, l_e2[:])
+        v3 = bdot(br, l_e3[:])
         return f0r, f0i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
 
     def sub_step(fr, fi, br, bi, accum):
@@ -275,14 +284,14 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
         u3 = dot(s_inv3[:], fr)
         f1r, f1i = u1 - u2, u1 + u3
         sb = br + bi
-        p1 = dot(br, f1r.T)
-        p2 = dot(bi, f1i.T)
-        p3 = dot(sb, (f1r + f1i).T)
+        p1 = bdot(br, f1r.T)
+        p2 = bdot(bi, f1i.T)
+        p3 = bdot(sb, (f1r + f1i).T)
         tr = p1 - p2
         ti = p3 - p1 - p2
-        v1 = dot(s_e1[:], sb)
-        v2 = dot(s_e2[:], bi)
-        v3 = dot(s_e3[:], br)
+        v1 = bdot(s_e1[:], sb)
+        v2 = bdot(s_e2[:], bi)
+        v3 = bdot(s_e3[:], br)
         return f1r, f1i, v1 - v2, v1 + v3, accum[0] + tr, accum[1] + ti
 
     # plane refs may be stored reduced (config.set_state_storage): every ref
@@ -375,13 +384,14 @@ def _kernel_dual(a_blk, g0_first, dot_mode, has_diag, diag_q,
 
 
 @functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
-                                             "dot_mode", "diag_q",
-                                             "interpret"))
+                                             "dot_mode", "bwd_dot_mode",
+                                             "diag_q", "interpret"))
 def block_backward_dual(fr, fi, br, bi,
                         e0inv_r, e0inv_i, e0_r, e0_i,
                         e1inv_r, e1inv_i, e1_r, e1_i,
                         *, g0_first: bool = True, a_blk: int = 4,
-                        dot_mode: str = "f32", diag_inv_tables=None,
+                        dot_mode: str = "f32", bwd_dot_mode: str = None,
+                        diag_inv_tables=None,
                         diag_tables=None, diag_q: bool = False,
                         interpret: bool = False):
     """One-pass adjoint step for a PAIR of blocks on the lane (E0) and
@@ -409,6 +419,7 @@ def block_backward_dual(fr, fi, br, bi,
     es = cm.fixed2
     has_diag = diag_tables is not None
     kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode,
+                             bwd_dot_mode or dot_mode,
                              has_diag, diag_q and has_diag)
     A_ = fr.shape[0]
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
@@ -445,11 +456,12 @@ def block_backward_dual(fr, fi, br, bi,
     )(*args)
 
 
-def _kernel_high(x_dim, n_chunks, dot_mode,
+def _kernel_high(x_dim, n_chunks, dot_mode, bwd_dot_mode,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  inv1, inv2, inv3, e1, e2, e3,
                  fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
+    bdot = make_dot(bwd_dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
     # reduced-storage refs upcast on load, downcast on store. For large X
@@ -478,16 +490,16 @@ def _kernel_high(x_dim, n_chunks, dot_mode,
         fii_ref[0, :, sl, :] = fii.reshape(out3).astype(fii_ref.dtype)
 
         sb = br + bi
-        v1 = dot(e1[:], sb)
-        v2 = dot(e2[:], bi)
-        v3 = dot(e3[:], br)
+        v1 = bdot(e1[:], sb)
+        v2 = bdot(e2[:], bi)
+        v3 = bdot(e3[:], br)
         bnr_ref[0, :, sl, :] = (v1 - v2).reshape(out3).astype(bnr_ref.dtype)
         bni_ref[0, :, sl, :] = (v1 + v3).reshape(out3).astype(bni_ref.dtype)
 
         # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
-        p1 = dot(br, fir.T)
-        p2 = dot(bi, fii.T)
-        p3 = dot(sb, (fir + fii).T)
+        p1 = bdot(br, fir.T)
+        p2 = bdot(bi, fii.T)
+        p3 = bdot(sb, (fir + fii).T)
         t0r_acc += p1 - p2
         t0i_acc += p3 - p1 - p2
 
@@ -502,9 +514,11 @@ def _kernel_high(x_dim, n_chunks, dot_mode,
     t0i_ref[:] += t0i_acc
 
 
-@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode",
+                                             "bwd_dot_mode", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                         *, m_blk: int = 8, dot_mode: str = "f32",
+                        bwd_dot_mode: str = None,
                         interpret: bool = False):
     """One-pass adjoint step for a high-group block.
 
@@ -538,7 +552,8 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = cm.blk4
     es = cm.fixed2
-    kern = functools.partial(_kernel_high, X, n_chunks, dot_mode)
+    kern = functools.partial(_kernel_high, X, n_chunks, dot_mode,
+                             bwd_dot_mode or dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((X, X), F32)

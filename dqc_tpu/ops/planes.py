@@ -233,7 +233,7 @@ def backward_merged_top(fxr, fxi, bxr, bxi, Einv_m, E_m, n: int,
     fr, fi, br, bi, t0r, t0i = block_backward_high(
         fxr.reshape(shape4), fxi.reshape(shape4),
         bxr.reshape(shape4), bxi.reshape(shape4),
-        einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+        einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
         interpret=interpret)
     return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
             br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
@@ -613,7 +613,7 @@ def backward_cross_span(fxr, fxi, bxr, bxi, gate_m, gate_inv, positions,
         bxr.reshape(vshape), bxi.reshape(vshape),
         jnp.asarray(einv_r), jnp.asarray(einv_i),
         jnp.asarray(e_r), jnp.asarray(e_i),
-        dot_mode=config.kernel_dot_mode(), interpret=interpret)
+        dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(), interpret=interpret)
     W = _span_cotangent(t0r, t0i, rels, span)
     k = len(pos)
     order = sorted(range(k), key=lambda i: -pos[i])
@@ -868,15 +868,16 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
     einv_r, einv_i = op_planes(Einv)
     e_r, e_i = op_planes(E)
     mode = config.kernel_dot_mode()
+    bmode = config.bwd_kernel_dot_mode()
     if j == 0:
         fr, fi, br, bi, t0r, t0i = block_backward_lane(
             fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
-            interpret=interpret)
+            bwd_dot_mode=bmode, interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     if j == 1:
         fr, fi, br, bi, t0r, t0i = block_backward_sublane(
             fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
-            interpret=interpret)
+            bwd_dot_mode=bmode, interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     pre, X, M = _high_view(n, j)
     shape4 = (pre, X, M, 128)
@@ -884,7 +885,7 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
         fr, fi, br, bi, t0r, t0i = block_backward_high(
             fxr.reshape(shape4), fxi.reshape(shape4),
             bxr.reshape(shape4), bxi.reshape(shape4),
-            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
             interpret=interpret)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
                 br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
@@ -898,7 +899,7 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
         fr, fi, br, bi, t0r, t0i = block_backward_high(
             fxr.reshape(shape4), fxi.reshape(shape4),
             bxr.reshape(shape4), bxi.reshape(shape4),
-            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(),
+            einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
             interpret=interpret)
         T0 = _trace_id(t0r + 1j * t0i, X, Xl)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),

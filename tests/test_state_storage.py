@@ -54,6 +54,56 @@ def test_mode_validation():
     assert config.bwd_plane_dtype() == jnp.float32
 
 
+def test_bwd_dot_mode_resolution():
+    """'auto' follows the cotangent storage: bf16-stored cotangents run
+    their transport/gram dots bf16x3 (the operands are bf16-rounded at
+    every store, so 6-pass f32-HIGHEST buys nothing there); f32 storage
+    keeps the exact dot mode. Explicit override wins."""
+    try:
+        config.set_state_storage("f32")
+        assert config.bwd_kernel_dot_mode() == config.kernel_dot_mode()
+        config.set_state_storage("mixed")
+        assert config.bwd_kernel_dot_mode() == "bf16x3"
+        config.set_state_storage("bf16")
+        assert config.bwd_kernel_dot_mode() == "bf16x3"
+        config.set_bwd_kernel_dot_mode("f32")
+        assert config.bwd_kernel_dot_mode() == "f32"
+        with pytest.raises(ValueError):
+            config.set_bwd_kernel_dot_mode("f64")
+    finally:
+        config.set_bwd_kernel_dot_mode("auto")
+        config.set_state_storage("f32")
+
+
+def test_mixed_grad_error_vs_exact_bwd_dots(n=14):
+    """The auto bf16x3 cotangent dots must not degrade mixed-storage
+    gradients beyond the storage-rounding noise: grads with bf16x3 bwd
+    dots stay within a small factor of the same run with exact f32 bwd
+    dots (both compared to f32 storage truth)."""
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    config.set_plane_engine(True)
+    try:
+        m = HardwareEfficientAnsatz(n, 2, entangler="cz", dtype=C64,
+                                    scan=True)
+        params = m.init_params(jax.random.PRNGKey(3))
+        config.set_state_storage("f32")
+        _, g0 = jax.value_and_grad(m.magnetization)(params)
+        config.set_state_storage("mixed")
+        config.set_bwd_kernel_dot_mode("f32")
+        _, g_exact = jax.value_and_grad(m.magnetization)(params)
+        config.set_bwd_kernel_dot_mode("auto")
+        _, g_fast = jax.value_and_grad(m.magnetization)(params)
+        ref = np.abs(np.asarray(g0)).max()
+        e_exact = np.abs(np.asarray(g_exact) - np.asarray(g0)).max() / ref
+        e_fast = np.abs(np.asarray(g_fast) - np.asarray(g0)).max() / ref
+        assert e_fast < max(3 * e_exact, 1e-3), (e_fast, e_exact)
+    finally:
+        config.set_bwd_kernel_dot_mode("auto")
+        config.set_state_storage("f32")
+        config.set_plane_engine("auto")
+
+
 def _epilogue(n):
     epi = AutoGradCircuit(n, dtype=C64)
     for i in range(0, n, 3):
