@@ -964,8 +964,10 @@ def test_sink_diag_items_schedule():
 
 def test_rotated_scan_parity(plane_mode):
     """Const trailing diag run -> rotated scan ((R D)^L = D (R D)^(L-1) R):
-    value + every cotangent match the XLA engine through BOTH custom_vjp
-    paths (plane_scanned_layers and the std scan+epilogue op)."""
+    value + every cotangent (gates AND initial state) match the XLA engine
+    through plane_scanned_layers; the std scan+epilogue op's rotated path
+    is covered model-level by test_model_dispatch_parity (cz ansatz,
+    L=2 -> rotation fires)."""
     from dqc_tpu.circuit.plane_scan import (_rotatable_const_diag,
                                             plane_program)
 
