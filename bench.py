@@ -126,7 +126,7 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
         engine = "plane" if plane_scan.use_plane_engine(
             model._layer_ftape, model.dtype) else "xla"
         fwd_p, bwd_p = plane_scan.estimate_hbm_passes(
-            model._layer_ftape, model._layer_consts)
+            model._layer_ftape, model._layer_consts, layers=layers)
         exec_passes = layers * (fwd_p + bwd_p) + 6  # +~6: epilogue/seed/convert
         achieved_gbps_est = exec_passes * bytes_per_sweep / dt / 1e9
         xla_bytes = _cost_bytes(step, params)

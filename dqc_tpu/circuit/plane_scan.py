@@ -517,8 +517,8 @@ def _diag_cts_from_Q(run, ftape: FusedTape, var_gates, const_gates, Q,
             var_cts[fi.queue_idx] = vjp(W2)[0]
 
 
-def estimate_hbm_passes(ftape: FusedTape,
-                        const_gates=None) -> Tuple[float, float]:
+def estimate_hbm_passes(ftape: FusedTape, const_gates=None,
+                        layers: Optional[int] = None) -> Tuple[float, float]:
     """(forward, backward) full-state HBM passes per layer under the plane
     engine — one pass = read+write of the full state's bytes. Used by
     bench.py to report *achieved* bandwidth (as opposed to the per-gate-sweep
@@ -530,12 +530,16 @@ def estimate_hbm_passes(ftape: FusedTape,
     items count 2 passes per decomposition term: with ``const_gates`` the
     term count is the EXECUTED one (``_dense_cross_expanded_terms`` prunes
     zero-weight terms for concrete gates — 2 for CNOT, not 4); var/traced
-    gates use the positions-derived 4^ka bound.
+    gates use the positions-derived 4^ka bound. ``layers``: the scan depth
+    the estimate amortizes over — the const-trailing-diag rotation (one
+    pass fewer each way) only executes for >= 2 scanned layers, so a
+    known depth of 1 keeps the unrotated count (None = assume deep).
     """
     program = plane_program(ftape)
-    rot = _rotatable_const_diag(program, ftape)
-    if rot is not None:
-        program = rot[1]  # amortized per-layer cost = the rotated body
+    if layers is None or layers >= 2:
+        rot = _rotatable_const_diag(program, ftape)
+        if rot is not None:
+            program = rot[1]  # amortized per-layer cost = the rotated body
     n = ftape.n
     fwd = bwd = 0.0
     for item in program:

@@ -12,7 +12,7 @@ laptop you can dry-run the SAME program on a virtual CPU mesh:
         JAX_PLATFORMS=cpu python examples/example_distributed_vqe.py
 
 Usage: python examples/example_distributed_vqe.py [--qubits 18]
-       [--layers 4] [--iters 30] [--devices N]
+       [--layers 4] [--iters 150] [--devices N]
 
 (--devices defaults to every visible device; must be a power of two.)
 """

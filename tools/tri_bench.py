@@ -23,6 +23,9 @@ from tri_kernels import tri_group_apply_planes
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 
+if n < 21:
+    raise SystemExit("tri_bench needs n >= 21 (a full 7-bit group-2 axis: "
+                     "A = 2^(n-14) must hold X = 128 rows)")
 A = 1 << (n - 14)
 X = 128
 A1 = A // X
