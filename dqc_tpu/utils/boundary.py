@@ -32,12 +32,28 @@ import numpy as np
 
 
 def tree_has_tracer(*trees: Any) -> bool:
-    """True if any leaf of the given pytrees is a JAX tracer."""
+    """True when the call must take the TRACED path: any leaf is a JAX
+    tracer, OR a trace is active (the caller sits inside someone else's
+    jit/grad/vmap with all-concrete gate inputs — the core's outputs would
+    be tracers there, so host-side unpacking is illegal even though the
+    inputs are plain numpy)."""
     for tree in trees:
         for leaf in jax.tree_util.tree_leaves(tree):
             if isinstance(leaf, jax.core.Tracer):
                 return True
-    return False
+    return _trace_active()
+
+
+def _trace_active() -> bool:
+    """True when called under an active jit/grad/vmap trace."""
+    try:  # current jax: the ambient trace is EvalTrace only outside traces
+        return type(jax.core.trace_ctx.trace).__name__ != "EvalTrace"
+    except AttributeError:
+        pass
+    try:  # older jax
+        return not jax.core.trace_state_clean()
+    except AttributeError:
+        return False
 
 
 def split_pair(x) -> np.ndarray:

@@ -73,3 +73,31 @@ def test_checkpoint_roundtrip(tmp_path):
     back = checkpoint.restore(path, like=tree)
     np.testing.assert_allclose(back["params"], tree["params"])
     assert int(back["step"]) == 7
+
+
+def test_concrete_inputs_inside_outer_jit():
+    """All-concrete gate lists called INSIDE someone else's jit must take
+    the traced path: the eager path's host-side unpacking would see traced
+    core outputs (tree_has_tracer also checks the ambient trace state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qdc import AutoGradCircuit
+
+    c = AutoGradCircuit(4)
+    c.add_q1_const_gate(0)
+    c.get_q1_dens_op_with_grad(0)
+    h = (np.array([[1, 1], [1, -1]]) / np.sqrt(2)).astype(
+        np.complex64).reshape(-1)
+    sf = c.build_state_fn()
+    _, arun = c.build()
+
+    @jax.jit
+    def f():
+        s = sf([], [h])
+        d = arun([], [h])
+        return jnp.sum(jnp.abs(s) ** 2).real + jnp.real(d[0][0, 0])
+
+    np.testing.assert_allclose(float(f()), 1.5, rtol=1e-6)
+    # the eager contract is unchanged: numpy complex out
+    assert np.iscomplexobj(np.asarray(sf([], [h])))
