@@ -58,8 +58,11 @@ STORAGE = os.environ.get("DQC_BENCH_STORAGE", "f32")
 
 def _fetch(v, g):
     """Force true completion: on remote-tunnel backends block_until_ready
-    can return before execution finishes; a host fetch cannot."""
-    jax.block_until_ready(g)
+    can return before execution finishes; a host fetch cannot. Fetch the
+    value AND a gradient-leaf checksum so the barrier covers both outputs
+    even on a backend that materializes them independently."""
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    float(jnp.sum(jnp.abs(leaf.reshape(-1)[:8])))
     return float(v)
 
 

@@ -548,19 +548,13 @@ def estimate_hbm_passes(ftape: FusedTape, const_gates=None,
         if item[0] == "dcross":
             fi = ftape.instructions[item[1]]
             pgrad = 1.0 if fi.var else 0.0
-            groups = {gr.group_of_bit(n, p)[0] for p in fi.positions}
-            sizes = gr.group_sizes_low_first(n)
             if pl.backward_span_eligible(fi.positions, n):
                 # one fused sweep each way (apply_cross_span fwd,
                 # backward_cross_span: uncompute+gram+transport in 1 pass)
                 fwd += 1.0
                 bwd += 2.0  # one fused pass over both (fwd, bwd) plane pairs
                 continue
-            one_pass = (
-                pl.cross_span_eligible(fi.positions, n)
-                or groups == {0, 1}
-                or (0 in groups and sizes[max(groups)] >= 3))
-            if one_pass:
+            if pl.cross_pair_one_pass(fi.positions, n):
                 # whole term sum in one fused kernel sweep (apply_cross_span
                 # slice kernels / dual_multi / high_multi)
                 fwd += 1.0

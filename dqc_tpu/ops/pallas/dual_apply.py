@@ -171,6 +171,14 @@ def dual_multi_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *,
         a_blk = 1 << (min(A, a_blk).bit_length() - 1)
         while A % a_blk:
             a_blk >>= 1
+    # the kernel keeps ALL T lane-stage results live across the stage
+    # boundary (T x 2 x (a_blk,128,128) f32); shrink the block so that
+    # slab stays ~<=16 MB inside the 64 MB scoped-VMEM budget (a traced
+    # k>=4 cross gate over two minor groups reaches T = 16 unpruned terms)
+    while a_blk > 1 and T * 2 * a_blk * 128 * 128 * 4 > 16 * 1024 * 1024:
+        a_blk >>= 1
+        while A % a_blk:
+            a_blk >>= 1
     k1 = jnp.swapaxes(el_r, 1, 2)
     k2 = jnp.swapaxes(el_r + el_i, 1, 2)
     k3 = jnp.swapaxes(el_i - el_r, 1, 2)

@@ -557,6 +557,21 @@ def apply_cross_span(xr, xi, gate_m, positions, n: int, *, alias: bool = True,
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
 
+def cross_pair_one_pass(positions, n: int) -> bool:
+    """True when a dense cross-group gate over TWO groups executes its whole
+    term decomposition as ONE fused pass: the multi-term dual kernel
+    (minor-minor), the multi-term high+lane kernel (lane x kernel-tileable
+    high group), or a span view. Shared by plane_scan.estimate_hbm_passes so
+    the published pass counts track the actual dispatch."""
+    if cross_span_eligible(positions, n):
+        return True
+    groups = {gr.group_of_bit(n, p)[0] for p in positions}
+    if groups == {0, 1}:
+        return True
+    sizes = gr.group_sizes_low_first(n)
+    return 0 in groups and (1 << sizes[max(groups)]) >= MIN_KERNEL_X
+
+
 def backward_span_eligible(positions, n: int) -> bool:
     """True when a dense gate on ``positions`` has a ONE-pass fused adjoint
     (backward_cross_span): span view exists AND no lane bits (lane shapes

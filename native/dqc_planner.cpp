@@ -156,6 +156,14 @@ extern "C" int32_t dqc_plan_distribution(const int32_t* tape, int32_t num_instr,
   auto instrs = decode(tape, num_instr);
   const int32_t m = n_qubits - k;
   if (m < k) return -2;
+  // validate every position BEFORE the next-use table writes index by it:
+  // this is an extern-C ABI entry, and an out-of-range position from encoder
+  // drift would otherwise be an out-of-bounds heap write, not a wrong plan
+  for (const auto& in : instrs) {
+    for (int32_t b = 0; b < in.k; ++b) {
+      if (in.pos[b] < 0 || in.pos[b] >= n_qubits) return -2;
+    }
+  }
   Writer w(out, out_cap);
 
   std::vector<int32_t> phys(n_qubits);

@@ -85,10 +85,7 @@ def loss_fn(ftape, epi_ft, init, consts, *, plane):
     run = plane_scan_densities if plane else scan_with_epilogue
 
     def loss(sg):
-        if plane:
-            dens = run(ftape, epi_ft, init, sg, consts)
-        else:
-            dens = run(ftape, epi_ft, init, sg, consts)
+        dens = run(ftape, epi_ft, init, sg, consts)
         return sum(jnp.real(jnp.trace(d)) + jnp.real(d[0, 0]) for d in dens)
 
     return loss
