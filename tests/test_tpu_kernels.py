@@ -448,3 +448,50 @@ def test_cross_span_kernels_on_hardware():
     Wp = np.asarray(jnp.stack([jnp.real(W), jnp.imag(W)]), np.float64)
     W_got = Wp[0] + 1j * Wp[1]
     assert np.abs(W_got - W_want).max() / np.abs(W_want).max() < 2e-4
+
+
+@skip_no_tpu
+def test_dual_multi_16_terms_on_hardware():
+    """A traced k=4 dense cross gate with 2 bits in each minor group
+    expands to 16 unpruned terms; the multi-term dual kernel must compile
+    inside the scoped-VMEM budget (a_blk demand-shrink) and match the
+    dense-operator oracle on the chip."""
+    from dqc_tpu.circuit.plane_scan import _dense_cross_expanded_terms
+    from dqc_tpu.ops import planes as pln
+
+    rng = np.random.default_rng(71)
+    n = 16
+    positions = (8, 9, 3, 5)  # two sublane bits, two lane bits
+    v = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+    psi = (v / np.linalg.norm(v)).astype(np.complex64)
+    m = rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
+    G, _ = np.linalg.qr(m)
+    G = G.astype(np.complex64)
+
+    shape = (1 << (n - 14), 128, 128)
+    xr = jnp.asarray(np.ascontiguousarray(psi.real.reshape(shape)))
+    xi = jnp.asarray(np.ascontiguousarray(psi.imag.reshape(shape)))
+
+    @jax.jit
+    def run(xr, xi, Gp):
+        # traced gate (real pair in): all 16 slice terms, no pruning
+        Gc = jax.lax.complex(Gp[0], Gp[1])
+        terms = _dense_cross_expanded_terms(Gc, positions, n)
+        assert len(terms) == 16, len(terms)
+        yr, yi = pln.apply_cross_terms(xr, xi, terms, n, alias=False)
+        return yr, yi
+
+    Gp = jnp.asarray(np.stack([G.real, G.imag]))
+    yr, yi = run(xr, xi, Gp)
+    got = (np.asarray(yr, np.float64)
+           + 1j * np.asarray(yi, np.float64)).reshape(-1)
+
+    # numpy oracle
+    t = psi.reshape((2,) * n).astype(np.complex128)
+    axes = [n - 1 - p for p in positions]
+    gt = G.reshape((2,) * 8).astype(np.complex128)
+    moved = np.moveaxis(t, axes, range(4))
+    out = np.tensordot(gt, moved, axes=(list(range(4, 8)), list(range(4))))
+    want = np.moveaxis(out, range(4), axes).reshape(-1)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-5, err
