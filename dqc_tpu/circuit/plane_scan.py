@@ -172,7 +172,8 @@ def plane_program(ftape: FusedTape) -> Tuple[Tuple, ...]:
     if run:
         items.extend(_split_diag_run(run))
     items = _sink_diag_items(tuple(items), ftape)
-    return _pair_diag_into_dual(_pair_top_groups(items, ftape), ftape)
+    items = _pair_diag_into_dual(_pair_top_groups(items, ftape), ftape)
+    return _pair_diag_into_high(items, ftape)
 
 
 def _sink_diag_items(items: Tuple[Tuple, ...], ftape: FusedTape):
@@ -237,10 +238,55 @@ def _item_touched(item, ftape: FusedTape) -> set:
         for i in item[1]:
             out |= _touched_groups(ftape.instructions[i], n)
         return out
+    if item[0] == "dhigh":
+        out = _touched_groups(ftape.instructions[item[2]], n)
+        for i in item[1]:
+            out |= _touched_groups(ftape.instructions[i], n)
+        return out
     if item[0] == "dense" and item[2] is not None:
         return (_touched_groups(ftape.instructions[item[1]], n)
                 | _touched_groups(ftape.instructions[item[2]], n))
     return _touched_groups(ftape.instructions[item[1]], n)
+
+
+def _pair_diag_into_high(items: Tuple[Tuple, ...], ftape: FusedTape):
+    """Fold a diagonal run ADJACENT to a plain dense high-group sweep into
+    one fused kernel item ``('dhigh', run, i, diag_first)`` — either tape
+    order: [run, dense] (``diag_first=True``) or [dense, run]. Covers the
+    shapes the ddual fold cannot reach (no minor dense sweep next to the
+    run): a trailing entangler run after the layer's last high rotation
+    sweep (26q hardware-efficient without the scan rotation), and the
+    distributed layer segments that localize global qubits onto a high
+    group — rotations sweep + entangler run in one pass (parallel/scan.py).
+    Runs AFTER _pair_diag_into_dual, so minor dual folds keep priority;
+    order is preserved exactly (no commutation), so the function and every
+    gradient are identical."""
+    n = ftape.n
+
+    def foldable(item):
+        if item[0] != "dense" or item[2] is not None:
+            return None
+        fi = ftape.instructions[item[1]]
+        if not isinstance(fi, FBlock) or fi.all_diag:
+            return None
+        return item[1] if pl.dhigh_eligible(fi.group, n) else None
+
+    out: List[Tuple] = []
+    for item in items:
+        if out and out[-1][0] == "diag":
+            i = foldable(item)
+            if i is not None:
+                run = out.pop()[1]
+                out.append(("dhigh", run, i, True))
+                continue
+        if item[0] == "diag" and out:
+            i = foldable(out[-1])
+            if i is not None:
+                out.pop()
+                out.append(("dhigh", item[1], i, False))
+                continue
+        out.append(item)
+    return tuple(out)
 
 
 def _pair_top_groups(items: Tuple[Tuple, ...], ftape: FusedTape):
@@ -591,8 +637,9 @@ def estimate_hbm_passes(ftape: FusedTape, const_gates=None,
             fwd += 1.0
             bwd += 3.0  # uncompute + subblock gram + transport
         else:
-            # 'dense' (single/dual) and 'hpair' merged sweeps: 1 aliased
-            # pass forward, 2 (fwd+bwd planes) backward
+            # 'dense' (single/dual), 'hpair' merged, 'diag' runs and the
+            # 'ddual'/'dhigh' folded sweeps: 1 aliased pass forward,
+            # 2 (fwd+bwd planes) backward
             fwd += 1.0
             bwd += 2.0
     return fwd, bwd
@@ -823,6 +870,23 @@ def _apply_ddual(xr, xi, item, ftape, var_gates, const_gates):
     return pl.apply_dual(xr, xi, E0, E1, diag=T, interpret=_interpret())
 
 
+def _apply_dhigh_item(xr, xi, item, ftape, var_gates, const_gates, *,
+                      inverse: bool = False):
+    """Fused [diag run + dense high-group sweep] forward: one kernel pass.
+    ``inverse=True`` un-applies the item (inverse operands, flipped order)
+    for the zero-cotangent uncompute walk."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    T = _diag_run_tables(item[1], ftape, var_gates, const_gates,
+                         inverse=inverse)
+    fi = ftape.instructions[item[2]]
+    E = _block_operator(fi, var_gates, const_gates, sizes[fi.group],
+                        inverse=inverse, reverse=inverse)
+    diag_first = item[3] if not inverse else not item[3]
+    return pl.apply_dhigh(xr, xi, E, T, fi.group, n, diag_first=diag_first,
+                          interpret=_interpret())
+
+
 def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
     """Gate-only forward over a plane program (no density items)."""
     for item in program:
@@ -831,6 +895,9 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
         elif item[0] == "ddual":
             xr, xi = _apply_ddual(xr, xi, item, ftape, var_gates, const_gates)
+        elif item[0] == "dhigh":
+            xr, xi = _apply_dhigh_item(xr, xi, item, ftape, var_gates,
+                                       const_gates)
         elif item[0] == "mdiag":
             fi = ftape.instructions[item[1]]
             d = _cross_gate(fi, var_gates, const_gates).reshape(-1)
@@ -867,6 +934,10 @@ def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
                 var_cts)
         elif item[0] == "ddual":
             fxr, fxi, bxr, bxi = _backward_ddual(
+                fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
+                var_cts)
+        elif item[0] == "dhigh":
+            fxr, fxi, bxr, bxi = _backward_dhigh(
                 fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
                 var_cts)
         elif item[0] == "mdiag":
@@ -1033,6 +1104,10 @@ def _uncompute_program(fxr, fxi, program, ftape, var_gates, const_gates):
             fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
                                          interpret=_interpret())
             continue
+        if item[0] == "dhigh":
+            fxr, fxi = _apply_dhigh_item(fxr, fxi, item, ftape, var_gates,
+                                         const_gates, inverse=True)
+            continue
         fxr, fxi = _uncompute_only(fxr, fxi, ftape.instructions[item[1]],
                                    ftape, var_gates, const_gates)
         if len(item) > 2 and item[2] is not None:
@@ -1148,6 +1223,35 @@ def _backward_ddual(fxr, fxi, bxr, bxi, item, ftape, var_gates,
     if with_q:
         Q = (out[8] + 1j * out[9], out[10] + 1j * out[11],
              out[12] + 1j * out[13])
+        _diag_cts_from_Q(run, ftape, var_gates, const_gates, Q, var_cts)
+    return fxr, fxi, bxr, bxi
+
+
+def _backward_dhigh(fxr, fxi, bxr, bxi, item, ftape, var_gates,
+                    const_gates, var_cts: Dict[int, jax.Array]):
+    """Adjoint of a fused [diag run + dense high-group sweep] in ONE kernel
+    pass: uncompute + transport + the dense block's T0 pair-gram + the
+    run's Q reductions (pl.backward_dhigh); cotangents close exactly as in
+    _backward_ddual / _diag_run_backward."""
+    n = ftape.n
+    sizes = gr.group_sizes_low_first(n)
+    run = item[1]
+    fi = ftape.instructions[item[2]]
+    g = sizes[fi.group]
+    Einv = _block_operator(fi, var_gates, const_gates, g, inverse=True,
+                           reverse=True)
+    E = _block_operator(fi, var_gates, const_gates, g)
+    T = _diag_run_tables(run, ftape, var_gates, const_gates)
+    Tinv = _diag_run_tables(run, ftape, var_gates, const_gates, inverse=True)
+    with_q = _run_has_var(run, ftape)
+    fxr, fxi, bxr, bxi, T0, Q = pl.backward_dhigh(
+        fxr, fxi, bxr, bxi, Einv, E, Tinv, T, fi.group, n,
+        diag_first=item[3], with_q=with_q, interpret=_interpret())
+    if fi.has_var:
+        ops = _block_ops(fi, var_gates, const_gates, g, C64)
+        dense_block_var_cts(fi, ops, T0.astype(C64), var_gates, const_gates,
+                            g, C64, var_cts)
+    if with_q:
         _diag_cts_from_Q(run, ftape, var_gates, const_gates, Q, var_cts)
     return fxr, fxi, bxr, bxi
 
@@ -1848,6 +1952,19 @@ def _trim_program(program, stop_after: Optional[int]):
                 if keep_dense:
                     out.append(("dense", keep_dense[0],
                                 keep_dense[1] if len(keep_dense) > 1 else None))
+        elif item[0] == "dhigh":
+            keep_run = tuple(x for x in item[1] if x <= stop_after)
+            keep_dense = item[2] <= stop_after
+            if keep_run == tuple(item[1]) and keep_dense:
+                out.append(item)
+            else:
+                parts = []
+                if keep_run:
+                    parts.append(("diag", keep_run))
+                if keep_dense:
+                    dense = ("dense", item[2], None)
+                    parts = [dense] + parts if not item[3] else parts + [dense]
+                out.extend(parts)
         elif item[0] == "hpair":
             keep = [x for x in (item[1], item[2]) if x <= stop_after]
             if len(keep) == 2:
@@ -1885,6 +2002,9 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
             xr, xi = pl.apply_diag_run(xr, xi, T, interpret=_interpret())
         elif item[0] == "ddual":
             xr, xi = _apply_ddual(xr, xi, item, ftape, var_gates, const_gates)
+        elif item[0] == "dhigh":
+            xr, xi = _apply_dhigh_item(xr, xi, item, ftape, var_gates,
+                                       const_gates)
         elif item[0] == "mdiag":
             fi = ftape.instructions[item[1]]
             xr, xi = pl.apply_multi_diag(

@@ -456,10 +456,19 @@ def block_backward_dual(fr, fi, br, bi,
     )(*args)
 
 
-def _kernel_high(x_dim, n_chunks, dot_mode, bwd_dot_mode,
+def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
+                 has_diag, diag_first_fwd, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
-                 inv1, inv2, inv3, e1, e2, e3,
-                 fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
+                 inv1, inv2, inv3, e1, e2, e3, *rest):
+    if has_diag:
+        (isl_r, isl_i, ias_r, ias_i, ial_r, ial_i,
+         tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:12], rest[12:]
+    if diag_q:
+        (fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref,
+         qsl_r_ref, qsl_i_ref, qas_r_ref, qas_i_ref,
+         qal_r_ref, qal_i_ref) = rest
+    else:
+        fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref = rest
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
 
@@ -473,28 +482,53 @@ def _kernel_high(x_dim, n_chunks, dot_mode, bwd_dot_mode,
     mc = m_blk // n_chunks
     t0r_acc = jnp.zeros(t0r_ref.shape, F32)
     t0i_acc = jnp.zeros(t0i_ref.shape, F32)
+    if has_diag:
+        from dqc_tpu.ops.pallas.high_apply import _dh_tile
+        dinv_r, dinv_i = _dh_tile(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
+        dfw_r, dfw_i = _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+    if diag_q:
+        qal_acc_r = jnp.zeros((x_dim, 128), F32)
+        qal_acc_i = jnp.zeros((x_dim, 128), F32)
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
+        def _():
+            qsl_r_ref[:] = jnp.zeros_like(qsl_r_ref)
+            qsl_i_ref[:] = jnp.zeros_like(qsl_i_ref)
+
     for c in range(n_chunks):
         sl = slice(c * mc, (c + 1) * mc)
         fr = fr_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
         fi = fi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
         br = br_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
         bi = bi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
+        ch3 = (x_dim, mc, 128)
+
+        if has_diag and not diag_first_fwd:
+            # forward was [dense, run]: roll (fwd, bwd) through the run
+            # FIRST — Q pair product before the updates (diag.py semantics)
+            if diag_q:
+                qr, qi = _cmul(br.reshape(ch3), bi.reshape(ch3),
+                               fr.reshape(ch3), fi.reshape(ch3))
+            fr, fi = _cmul(fr.reshape(ch3), fi.reshape(ch3),
+                           dinv_r[:, sl, :], dinv_i[:, sl, :])
+            br, bi = _cmul(br.reshape(ch3), bi.reshape(ch3),
+                           dfw_r[:, sl, :], dfw_i[:, sl, :])
+            fr, fi = fr.reshape(x_dim, -1), fi.reshape(x_dim, -1)
+            br, bi = br.reshape(x_dim, -1), bi.reshape(x_dim, -1)
 
         u1 = dot(inv1[:], fr + fi)
         u2 = dot(inv2[:], fi)
         u3 = dot(inv3[:], fr)
         fir = u1 - u2
         fii = u1 + u3
-        out3 = (x_dim, mc, 128)
-        fir_ref[0, :, sl, :] = fir.reshape(out3).astype(fir_ref.dtype)
-        fii_ref[0, :, sl, :] = fii.reshape(out3).astype(fii_ref.dtype)
 
         sb = br + bi
         v1 = bdot(e1[:], sb)
         v2 = bdot(e2[:], bi)
         v3 = bdot(e3[:], br)
-        bnr_ref[0, :, sl, :] = (v1 - v2).reshape(out3).astype(bnr_ref.dtype)
-        bni_ref[0, :, sl, :] = (v1 + v3).reshape(out3).astype(bni_ref.dtype)
+        bnr = v1 - v2
+        bni = v1 + v3
 
         # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
         p1 = bdot(br, fir.T)
@@ -502,6 +536,39 @@ def _kernel_high(x_dim, n_chunks, dot_mode, bwd_dot_mode,
         p3 = bdot(sb, (fir + fii).T)
         t0r_acc += p1 - p2
         t0i_acc += p3 - p1 - p2
+
+        if has_diag and diag_first_fwd:
+            # forward was [run, dense]: the dense stage is undone, now roll
+            # through the run — Q from (transported bwd, fwd-in) pair
+            if diag_q:
+                qr, qi = _cmul(bnr.reshape(ch3), bni.reshape(ch3),
+                               fir.reshape(ch3), fii.reshape(ch3))
+            fir, fii = _cmul(fir.reshape(ch3), fii.reshape(ch3),
+                             dinv_r[:, sl, :], dinv_i[:, sl, :])
+            bnr, bni = _cmul(bnr.reshape(ch3), bni.reshape(ch3),
+                             dfw_r[:, sl, :], dfw_i[:, sl, :])
+            fir, fii = fir.reshape(x_dim, -1), fii.reshape(x_dim, -1)
+            bnr, bni = bnr.reshape(x_dim, -1), bni.reshape(x_dim, -1)
+
+        fir_ref[0, :, sl, :] = fir.reshape(ch3).astype(fir_ref.dtype)
+        fii_ref[0, :, sl, :] = fii.reshape(ch3).astype(fii_ref.dtype)
+        bnr_ref[0, :, sl, :] = bnr.reshape(ch3).astype(bnr_ref.dtype)
+        bni_ref[0, :, sl, :] = bni.reshape(ch3).astype(bni_ref.dtype)
+
+        if diag_q:
+            # the run's order-invariant Q reductions on this chunk's tile
+            # (qsl: fixed accumulator window, rows by dynamic slice; qas:
+            # each (a, s) written exactly once; qal: accumulated across the
+            # cell's chunks then once per consecutive p-window visit)
+            row0 = (pl.program_id(1) % k_sub) * m_blk + c * mc
+            cur_r = qsl_r_ref[pl.dslice(row0, mc), :]
+            cur_i = qsl_i_ref[pl.dslice(row0, mc), :]
+            qsl_r_ref[pl.dslice(row0, mc), :] = cur_r + jnp.sum(qr, axis=0)
+            qsl_i_ref[pl.dslice(row0, mc), :] = cur_i + jnp.sum(qi, axis=0)
+            qas_r_ref[0, :, 0, sl] = jnp.sum(qr, axis=2)
+            qas_i_ref[0, :, 0, sl] = jnp.sum(qi, axis=2)
+            qal_acc_r += jnp.sum(qr, axis=1)
+            qal_acc_i += jnp.sum(qi, axis=1)
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -513,18 +580,38 @@ def _kernel_high(x_dim, n_chunks, dot_mode, bwd_dot_mode,
     t0r_ref[:] += t0r_acc
     t0i_ref[:] += t0i_acc
 
+    if diag_q:
+        @pl.when(pl.program_id(1) % k_sub == 0)
+        def _():
+            qal_r_ref[:] = jnp.zeros_like(qal_r_ref)
+            qal_i_ref[:] = jnp.zeros_like(qal_i_ref)
+
+        qal_r_ref[0, :, 0, :] += qal_acc_r
+        qal_i_ref[0, :, 0, :] += qal_acc_i
+
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode",
-                                             "bwd_dot_mode", "interpret"))
+                                             "bwd_dot_mode", "diag_first_fwd",
+                                             "diag_q", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                         *, m_blk: int = 8, dot_mode: str = "f32",
                         bwd_dot_mode: str = None,
+                        diag_inv_tables=None, diag_tables=None,
+                        diag_first_fwd: bool = True, diag_q: bool = False,
                         interpret: bool = False):
     """One-pass adjoint step for a high-group block.
 
     The state planes must be shaped ``(A1, X, M, 128)`` with ``X`` the
     contracted group axis (its operator is ``X x X``, ``X <= 128``). Blocks
     read the full ``X`` column per (a1, m-tile) grid cell.
+
+    ``diag_inv_tables`` / ``diag_tables``: 6 f32 view-tables each (see
+    planes.dhigh_view_tables) of a diagonal run fused with the dense sweep
+    in the forward — ``diag_first_fwd`` says the run preceded the dense
+    ([run, dense], the rolled-back order is dense-then-run) or followed it.
+    With ``diag_q`` the kernel also emits the run's order-invariant Q pair
+    reductions (diag.py semantics): qsl (128, 128) plus qas/qal on the
+    (A1, X, post, 128) a-table view.
     """
     assert fr.ndim == 4 and fr.shape[-1] == 128
     A1, X, M, _ = fr.shape
@@ -533,6 +620,9 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)
+    has_diag = diag_inv_tables is not None
+    if has_diag:
+        assert M % 128 == 0 and m_blk <= 128 and 128 % m_blk == 0, (M, m_blk)
     # chunk the in-kernel f32 slab to ~1 MB per temporary (~12 temporaries;
     # see _kernel_high). The dominant VMEM term at large X is the
     # double-buffered IO blocks themselves, which cannot shrink below the
@@ -547,25 +637,47 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     io_bytes = sum(2 * X * m_blk * 128 * jnp.dtype(d).itemsize
                    for d in (fr.dtype, fr.dtype, br.dtype, br.dtype))
     est = 2 * io_bytes + 14 * (slab // n_chunks) + 16 * X * X * 4
+    if has_diag:
+        # diag tiles (2x2 f32 (X, m_blk, 128)) + table blocks + Q windows
+        est += 4 * X * m_blk * 128 * 4 + 8 * (X + m_blk) * 128 * 4
     vmem_limit = min(110 * 1024 * 1024, max(64 * 1024 * 1024, est))
     inv = einv_r, einv_r + einv_i, einv_i - einv_r
     et = e_r.T, (e_r + e_i).T, (e_i - e_r).T
     bs = cm.blk4
     es = cm.fixed2
-    kern = functools.partial(_kernel_high, X, n_chunks, dot_mode,
-                             bwd_dot_mode or dot_mode)
+    k_sub = (128 // m_blk) if has_diag else 1
+    kern = functools.partial(_kernel_high, X, n_chunks, k_sub, dot_mode,
+                             bwd_dot_mode or dot_mode, has_diag,
+                             diag_first_fwd, diag_q)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((X, X), F32)
     blk = (1, X, m_blk, 128)
+    in_specs = ([pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 6)
+    args = (fr, fi, br, bi) + tuple(inv) + tuple(et)
+    out_shape = [fbig, fbig, bbig, bbig, small, small]
+    out_specs = ([pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 4
+                 + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 2)
+    if has_diag:
+        dh = cm.dh_table_specs(X, M, m_blk)
+        in_specs += list(dh) + list(dh)
+        args = args + tuple(diag_inv_tables) + tuple(diag_tables)
+    if diag_q:
+        post = M // 128
+        qa = jax.ShapeDtypeStruct((A1, X, post, 128), F32)
+        qsl_spec = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
+        _, _, tas_spec, _, tal_spec, _ = cm.dh_table_specs(X, M, m_blk)
+        out_shape += [jax.ShapeDtypeStruct((128, 128), F32)] * 2 \
+                     + [qa, qa, qa, qa]
+        out_specs += [qsl_spec, qsl_spec, tas_spec, tas_spec,
+                      tal_spec, tal_spec]
     return pl.pallas_call(
         kern,
-        out_shape=(fbig, fbig, bbig, bbig, small, small),
+        out_shape=tuple(out_shape),
         grid=(A1, M // m_blk),
-        in_specs=[pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)] * 4
-                + [pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM),) * 4
-                 + (pl.BlockSpec((X, X), es, memory_space=pltpu.VMEM),) * 2,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -574,4 +686,4 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
             vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(fr, fi, br, bi, *inv, *et)
+    )(*args)

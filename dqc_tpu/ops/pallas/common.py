@@ -39,6 +39,39 @@ def fixed2(*_):
     return (_Z, _Z)
 
 
+def dh_table_specs(X, M, m_blk):
+    """BlockSpecs of a fused diagonal run's 6 view-tables for a high-group
+    sweep on the ``(A1, X, M, 128)`` view with grid ``(A1, M // m_blk)``:
+
+    * ``tsl`` (128, 128) [sublane, lane]: block (m_blk, 128) at the cell's
+      sublane rows;
+    * ``tas`` / ``tal`` (A1, X, post, 128): the (pre, X, post, 128) views of
+      the run's (A, 128) a-axis tables; tas is sliced on its sublane axis,
+      tal delivers the cell's full lane row.
+
+    A cell (i, c) covers m in [c*m_blk, (c+1)*m_blk) = fixed post index
+    p = c*m_blk // 128 and sublane rows s0 = (c*m_blk) % 128 .. + m_blk
+    (requires m_blk | 128, asserted by the callers)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = 128 // m_blk
+
+    def sl_map(i, c):
+        return (c % k, _Z)
+
+    def as_map(i, c):
+        return (i, _Z, c // k, c % k)
+
+    def al_map(i, c):
+        return (i, _Z, c // k, _Z)
+
+    tsl = pl.BlockSpec((m_blk, 128), sl_map, memory_space=pltpu.VMEM)
+    tas = pl.BlockSpec((1, X, 1, m_blk), as_map, memory_space=pltpu.VMEM)
+    tal = pl.BlockSpec((1, X, 1, 128), al_map, memory_space=pltpu.VMEM)
+    return tsl, tsl, tas, tas, tal, tal
+
+
 def fixed3(*_):
     """Grid-invariant rank-3 operand (stacked per-term operators)."""
     return (_Z, _Z, _Z)

@@ -29,8 +29,28 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
-            *rest):
+def _cmul(xr, xi, yr, yi):
+    return xr * yr - xi * yi, xr * yi + xi * yr
+
+
+def _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
+    """Composed diagonal multiplier for one high-view block: blocks arrive
+    as tsl (m_blk, 128) [s, l], tas (1, X, 1, m_blk) [x, s], tal
+    (1, X, 1, 128) [x, l] — the (pre, X, post, 128) views of the run's
+    (A, 128) a-axis tables (a = (i*X + x)*post + p; within a block i and
+    p are fixed by the grid cell's BlockSpec index). Returns the complex
+    (X, m_blk, 128) tile."""
+    ar, ai = tas_r[0, :, 0, :], tas_i[0, :, 0, :]
+    lr, li = tal_r[0, :, 0, :], tal_i[0, :, 0, :]
+    mr, mi = _cmul(ar[:, :, None], ai[:, :, None],
+                   lr[:, None, :], li[:, None, :])
+    return _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
+
+
+def _kernel(x_dim, dot_mode, conj, has_acc, has_diag, diag_first,
+            xr_ref, xi_ref, e1, e2, e3, *rest):
+    if has_diag:
+        (tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:6], rest[6:]
     if has_acc:
         accr_ref, acci_ref, yr_ref, yi_ref = rest
     else:
@@ -40,13 +60,21 @@ def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
     # plane refs may be stored reduced (config.set_state_storage): loads
     # upcast to f32, stores downcast
-    xr = xr_ref[0].reshape(x_dim, -1).astype(F32)
-    xi = xi_ref[0].reshape(x_dim, -1).astype(F32)
+    x3r = xr_ref[0].astype(F32)
+    x3i = xi_ref[0].astype(F32)
+    if has_diag and diag_first:
+        dr, di = _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+        x3r, x3i = _cmul(x3r, x3i, dr, di)
+    xr = x3r.reshape(x_dim, -1)
+    xi = x3i.reshape(x_dim, -1)
     t1 = dot(e1[:], xr + xi)
     t2 = dot(e2[:], xi)
     t3 = dot(e3[:], xr)
     vr = (t1 - t2).reshape(yr_ref.shape[1:])
     vi = (t1 + t3).reshape(yi_ref.shape[1:])
+    if has_diag and not diag_first:
+        dr, di = _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+        vr, vi = _cmul(vr, vi, dr, di)
     if conj:
         vi = -vi
     if has_acc:
@@ -58,17 +86,24 @@ def _kernel(x_dim, dot_mode, conj, has_acc, xr_ref, xi_ref, e1, e2, e3,
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
                                              "conj", "out_dtype",
-                                             "interpret"))
+                                             "diag_first", "interpret"))
 def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
                             dot_mode: str = "f32", alias: bool = True,
                             conj: bool = False, acc=None, out_dtype=None,
+                            diag=None, diag_first: bool = True,
                             interpret: bool = False):
     """Apply the complex operator ``e_r + i e_i`` (``X x X``) to the second
     axis of plane-layout state ``(A1, X, M, 128) x 2`` in one HBM pass.
 
     ``alias=False``: fresh outputs, inputs preserved; ``conj``/``acc``: emit
     ``acc + conj(E x)`` with the accumulator aliased in place (the density-
-    seed pattern — see dual_group_apply_planes)."""
+    seed pattern — see dual_group_apply_planes).
+
+    ``diag``: 6 f32 view-tables of a fused diagonal run (see
+    planes.dhigh_view_tables) multiplied in the same pass — BEFORE the
+    contraction when ``diag_first`` (forward of a [run, dense] fold),
+    AFTER it otherwise (forward of [dense, run], or uncompute of
+    [run, dense] with inverse operands)."""
     assert xr.ndim == 4 and xr.shape[-1] == 128
     A1, X, M, _ = xr.shape
     out_dt = acc[0].dtype if acc is not None else xr.dtype
@@ -82,21 +117,31 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         m_blk = max(m_blk, 16)
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)
+    has_diag = diag is not None
+    if has_diag:
+        # the diag view-tables slice the sublane axis: the m block must sit
+        # inside one sublane repetition (M = post * 128 by construction)
+        assert M % 128 == 0 and m_blk <= 128 and 128 % m_blk == 0, (M, m_blk)
     # Karatsuba combination operands (tiny, host/trace-side)
     e1, e2, e3 = e_r, e_r + e_i, e_i - e_r
     bs = cm.blk4
     es = cm.fixed2
     has_acc = acc is not None
-    kern = functools.partial(_kernel, X, dot_mode, conj, has_acc)
+    kern = functools.partial(_kernel, X, dot_mode, conj, has_acc, has_diag,
+                             diag_first)
     blk = (1, X, m_blk, 128)
     big = pl.BlockSpec(blk, bs, memory_space=pltpu.VMEM)
     in_specs = [big] * 2 + [pl.BlockSpec((X, X), es,
                                          memory_space=pltpu.VMEM)] * 3
     args = (xr, xi, e1, e2, e3)
+    if has_diag:
+        in_specs = in_specs + list(cm.dh_table_specs(X, M, m_blk))
+        args = args + tuple(diag)
     if has_acc:
+        ai_base = len(args)
         in_specs = in_specs + [big, big]
         args = args + (acc[0].reshape(xr.shape), acc[1].reshape(xr.shape))
-        aliases = {5: 0, 6: 1}
+        aliases = {ai_base: 0, ai_base + 1: 1}
     else:
         aliases = {0: 0, 1: 1} if alias else {}
     return pl.pallas_call(

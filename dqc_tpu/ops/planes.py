@@ -297,6 +297,88 @@ def _apply_high_smallx(vxr, vxi, er, ei, X: int):
     return jnp.stack(outr, axis=1), jnp.stack(outi, axis=1)
 
 
+def dhigh_eligible(j: int, n: int) -> bool:
+    """True when a diagonal run folds into the dense sweep on high group
+    ``j`` as ONE fused kernel pass (apply_dhigh / backward_dhigh): the
+    plain high view applies (kernel-tileable X, no merged-axis view — a
+    merged axis interleaves foreign bits into the contracted axis, where
+    the run's a-tables no longer factor per block)."""
+    if j < 2:
+        return False
+    _, X, M = _high_view(n, j)
+    return MIN_KERNEL_X <= X <= 128 and M % 128 == 0
+
+
+def dhigh_view_tables(tables, j: int, n: int):
+    """Diag-run tables (tsl (128,128), tas (A,128), tal (A,128)) complex ->
+    the 6 f32 view-table operands of the fused dhigh kernels for high group
+    ``j``: tas/tal reshaped to (pre, X, post, 128) so each grid cell's
+    BlockSpec delivers exactly its a-rows (a = (i*X + x)*post + p)."""
+    tsl, tas, tal = tables
+    pre, X, M = _high_view(n, j)
+    post = M // 128
+    tsl_r, tsl_i = _table_planes(tsl)
+    tas_r, tas_i = _table_planes(tas)
+    tal_r, tal_i = _table_planes(tal)
+    v = (pre, X, post, 128)
+    return (jnp.asarray(tsl_r), jnp.asarray(tsl_i),
+            jnp.asarray(tas_r).reshape(v), jnp.asarray(tas_i).reshape(v),
+            jnp.asarray(tal_r).reshape(v), jnp.asarray(tal_i).reshape(v))
+
+
+def apply_dhigh(xr, xi, E, tables, j: int, n: int, *, diag_first: bool = True,
+                interpret: bool = False):
+    """Fused [diagonal run + dense sweep on high group ``j``] forward in ONE
+    aliased pass (``diag_first``: run precedes the dense in tape order).
+    Caller checks dhigh_eligible."""
+    pre, X, M = _high_view(n, j)
+    er, ei = op_planes(E)
+    vxr = xr.reshape(pre, X, M, 128)
+    vxi = xi.reshape(pre, X, M, 128)
+    yr, yi = high_group_apply_planes(
+        vxr, vxi, er, ei, dot_mode=config.kernel_dot_mode(), alias=True,
+        diag=dhigh_view_tables(tables, j, n), diag_first=diag_first,
+        interpret=interpret)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+def backward_dhigh(fxr, fxi, bxr, bxi, Einv, E, tables_inv, tables, j: int,
+                   n: int, *, diag_first: bool = True, with_q: bool = False,
+                   interpret: bool = False):
+    """One-pass adjoint of a fused [diag run + dense high sweep]: uncompute,
+    cotangent transport, the dense block's T0 pair-gram and (``with_q``) the
+    run's Q reductions, in a single read of the (fwd, bwd) planes. Returns
+    ``(fxr, fxi, bxr, bxi, T0, Q-or-None)`` with T0 complex (X, X) and Q the
+    complex (Qsl (128,128), Qas (A,128), Qal (A,128)) diag.py reductions."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_high
+
+    pre, X, M = _high_view(n, j)
+    einv_r, einv_i = op_planes(Einv)
+    e_r, e_i = op_planes(E)
+    vshape = (pre, X, M, 128)
+    out = block_backward_high(
+        fxr.reshape(vshape), fxi.reshape(vshape),
+        bxr.reshape(vshape), bxi.reshape(vshape),
+        jnp.asarray(einv_r), jnp.asarray(einv_i),
+        jnp.asarray(e_r), jnp.asarray(e_i),
+        dot_mode=config.kernel_dot_mode(),
+        bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        diag_inv_tables=dhigh_view_tables(tables_inv, j, n),
+        diag_tables=dhigh_view_tables(tables, j, n),
+        diag_first_fwd=diag_first, diag_q=with_q, interpret=interpret)
+    fr, fi, br, bi, t0r, t0i = out[:6]
+    Q = None
+    if with_q:
+        A = pre * X * (M // 128)
+        qsl = out[6] + 1j * out[7]
+        qas = (out[8] + 1j * out[9]).reshape(A, 128)
+        qal = (out[10] + 1j * out[11]).reshape(A, 128)
+        Q = (qsl, qas, qal)
+    return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+            br.reshape(bxr.shape), bi.reshape(bxr.shape),
+            t0r + 1j * t0i, Q)
+
+
 def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
                conj: bool = False, acc=None, out_dtype=None,
                interpret: bool = False):

@@ -650,3 +650,150 @@ def test_backward_cross_span():
         jnp.zeros((2, 128, 128)), jnp.zeros((2, 128, 128)),
         np.eye(4, dtype=np.complex64), np.eye(4, dtype=np.complex64),
         (3, 14), 15) is None
+
+
+def _dh_synth(rng, A1, X, post):
+    """Synthetic diag-run tables + view tables for a (A1, X, post*128, 128)
+    high-view block (no real qubit count needed — the kernel only sees the
+    view geometry)."""
+    A = A1 * X * post
+    tsl = (rng.standard_normal((128, 128))
+           + 1j * rng.standard_normal((128, 128))).astype(np.complex64)
+    tas = (rng.standard_normal((A, 128))
+           + 1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    tal = (rng.standard_normal((A, 128))
+           + 1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    v = (A1, X, post, 128)
+    view = (jnp.asarray(tsl.real), jnp.asarray(tsl.imag),
+            jnp.asarray(tas.real.reshape(v)), jnp.asarray(tas.imag.reshape(v)),
+            jnp.asarray(tal.real.reshape(v)), jnp.asarray(tal.imag.reshape(v)))
+    # dense D[a, s, l] for the numpy oracle, on the (A1, X, post, 128, 128)
+    # element view (a = (i*X + x)*post + p)
+    D = (tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]).reshape(
+        A1, X, post, 128, 128)
+    return view, D
+
+
+@pytest.mark.parametrize("diag_first", [True, False])
+def test_high_apply_with_fused_diag(diag_first):
+    """dhigh forward kernel (diag run folded into a high-group sweep) vs a
+    numpy oracle on a view with pre > 1 and post > 1 — exercises the
+    per-cell a-table BlockSpec indexing (common.dh_table_specs)."""
+    from dqc_tpu.ops.pallas.high_apply import high_group_apply_planes
+
+    rng = np.random.default_rng(5)
+    A1, X, post = 2, 8, 2
+    M = post * 128
+    x = (rng.standard_normal((A1, X, M, 128))
+         + 1j * rng.standard_normal((A1, X, M, 128))).astype(np.complex64)
+    E = oracles.random_unitary(rng, 3).astype(np.complex64)
+    view, D = _dh_synth(rng, A1, X, post)
+
+    x5 = x.reshape(A1, X, post, 128, 128).astype(np.complex128)
+    if diag_first:
+        want = np.einsum("xy,iypsl->ixpsl", E.astype(np.complex128),
+                         D * x5)
+    else:
+        want = D * np.einsum("xy,iypsl->ixpsl", E.astype(np.complex128), x5)
+    want = want.reshape(x.shape)
+
+    yr, yi = high_group_apply_planes(
+        jnp.asarray(x.real), jnp.asarray(x.imag),
+        jnp.asarray(E.real), jnp.asarray(E.imag),
+        diag=view, diag_first=diag_first, interpret=True)
+    got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("diag_first_fwd,m_blk", [(True, 8), (False, 8),
+                                                  (True, 128)])
+def test_block_backward_high_with_fused_diag(diag_first_fwd, m_blk):
+    """dhigh one-pass adjoint vs numpy: uncompute, transport, the dense T0
+    pair-gram and the run's Q reductions (diag.py semantics). m_blk=128 at
+    X=32 forces the chunked in-kernel path (n_chunks > 1)."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_high
+
+    rng = np.random.default_rng(7)
+    if m_blk == 128:
+        A1, X, post = 1, 32, 1
+        kq = 5
+    else:
+        A1, X, post = 2, 8, 2
+        kq = 3
+    M = post * 128
+    shp = (A1, X, M, 128)
+    f = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    b = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    E = oracles.random_unitary(rng, kq).astype(np.complex64)
+    Einv = np.conj(E.T)
+    view, D = _dh_synth(rng, A1, X, post)
+    # inverse view tables: invert each factor table elementwise
+    tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i = view
+
+    def inv_pair(r, i):
+        c = 1.0 / (np.asarray(r, np.complex128) + 1j * np.asarray(i))
+        return (jnp.asarray(c.real.astype(np.float32)),
+                jnp.asarray(c.imag.astype(np.float32)))
+
+    isl_r, isl_i = inv_pair(tsl_r, tsl_i)
+    ias_r, ias_i = inv_pair(tas_r, tas_i)
+    ial_r, ial_i = inv_pair(tal_r, tal_i)
+    view_inv = (isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
+
+    out = block_backward_high(
+        jnp.asarray(f.real), jnp.asarray(f.imag),
+        jnp.asarray(b.real), jnp.asarray(b.imag),
+        jnp.asarray(Einv.real), jnp.asarray(Einv.imag),
+        jnp.asarray(E.real), jnp.asarray(E.imag),
+        m_blk=m_blk, diag_inv_tables=view_inv, diag_tables=view,
+        diag_first_fwd=diag_first_fwd, diag_q=True, interpret=True)
+
+    f5 = f.reshape(A1, X, post, 128, 128).astype(np.complex128)
+    b5 = b.reshape(A1, X, post, 128, 128).astype(np.complex128)
+    Ec = E.astype(np.complex128)
+
+    def app(op, t):
+        return np.einsum("xy,iypsl->ixpsl", op, t)
+
+    if diag_first_fwd:
+        # forward was y = E (D x): dense stage first on the way back
+        fir = app(np.conj(Ec.T), f5)          # = D x
+        bn = app(Ec.T, b5)                    # transported
+        T0 = np.einsum("ixpsl,iypsl->xy", b5, fir)
+        Q = bn * fir
+        f_out = fir / D
+        b_out = bn * D
+    else:
+        # forward was y = D (E x): diag stage first
+        Q = b5 * f5
+        fp = f5 / D
+        bp = b5 * D
+        fir = app(np.conj(Ec.T), fp)
+        T0 = np.einsum("ixpsl,iypsl->xy", bp, fir)
+        f_out = fir
+        b_out = app(Ec.T, bp)
+
+    got_f = (np.asarray(out[0], np.float64)
+             + 1j * np.asarray(out[1], np.float64))
+    got_b = (np.asarray(out[2], np.float64)
+             + 1j * np.asarray(out[3], np.float64))
+    got_t0 = np.asarray(out[4], np.float64) + 1j * np.asarray(out[5],
+                                                              np.float64)
+    np.testing.assert_allclose(got_f, f_out.reshape(shp), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(got_b, b_out.reshape(shp), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(got_t0, T0, rtol=2e-3, atol=2e-3)
+
+    A = A1 * X * post
+    qsl = np.asarray(out[6], np.float64) + 1j * np.asarray(out[7], np.float64)
+    qas = (np.asarray(out[8], np.float64)
+           + 1j * np.asarray(out[9], np.float64)).reshape(A, 128)
+    qal = (np.asarray(out[10], np.float64)
+           + 1j * np.asarray(out[11], np.float64)).reshape(A, 128)
+    Qa = Q.reshape(A, 128, 128)
+    np.testing.assert_allclose(qsl, Qa.sum(axis=0), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(qas, Qa.sum(axis=2), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(qal, Qa.sum(axis=1), rtol=2e-3, atol=2e-3)

@@ -1011,3 +1011,62 @@ def test_rotated_scan_parity(plane_mode):
     v1r = loss_with(_scanned_layers_xla)(one, init)
     v1p = loss_with(plane_scanned_layers)(one, init)
     np.testing.assert_allclose(float(v1p), float(v1r), rtol=2e-5)
+
+
+@pytest.mark.parametrize("order", ["diag_then_dense", "dense_then_diag"])
+def test_dhigh_fold_parity(order, plane_mode):
+    """The dhigh fold (diag run fused into a high-group dense sweep, either
+    tape order) fires for high-rotations + entangler-ring layers with no
+    minor dense sweep, and value+grad match the XLA engine exactly — the
+    distributed layer-segment shape (parallel/scan.py localizes global
+    qubits onto a high group)."""
+    from dqc_tpu.circuit import plane_scan as ps
+
+    n = 17  # groups (7, 7, 3): g2 X = 8 (kernel-tileable), pre = post = 1
+    rng = np.random.default_rng(23)
+    c = AutoGradCircuit(n, dtype=C64)
+    nv = []
+    if order == "diag_then_dense":
+        for i in range(n - 1):
+            c.add_q2_var_gate_diag(i, i + 1)
+        for q in (14, 15, 16):
+            c.add_q1_var_gate(q)
+    else:
+        for q in (14, 15, 16):
+            c.add_q1_var_gate(q)
+        for i in range(n - 1):
+            c.add_q2_var_gate_diag(i, i + 1)
+    c.get_q1_dens_op_with_grad(0)
+    c.get_q1_dens_op_with_grad(15)
+    _, autodiff_run = c.build()
+
+    prog = ps.plane_program(fuse_tape(c.tape))
+    kinds = [it[0] for it in prog]
+    assert "dhigh" in kinds, kinds
+    item = prog[kinds.index("dhigh")]
+    assert item[3] == (order == "diag_then_dense"), (order, item)
+
+    gates = []
+    if order != "diag_then_dense":
+        gates += [jnp.asarray(rand_su2(rng)) for _ in (14, 15, 16)]
+    gates += [
+        jnp.asarray(np.exp(1j * rng.normal()
+                           * np.array([1, -1, -1, 1])).astype(np.complex64))
+        for _ in range(n - 1)
+    ]
+    if order == "diag_then_dense":
+        gates += [jnp.asarray(rand_su2(rng)) for _ in (14, 15, 16)]
+
+    w = [np.arange(1, 5, dtype=np.float64).reshape(2, 2)] * 2
+
+    def loss(gs, engine):
+        config.set_plane_engine(engine)
+        dens = autodiff_run(gs, ())
+        return sum(jnp.sum(jnp.real(d) * wi) for d, wi in zip(dens, w))
+
+    v0, g0 = jax.value_and_grad(lambda gs: loss(gs, False))(tuple(gates))
+    v1, g1 = jax.value_and_grad(lambda gs: loss(gs, True))(tuple(gates))
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
