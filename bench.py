@@ -160,7 +160,35 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
         config.set_state_storage("f32")
 
 
+def _preflight_device(timeout_s: int = 600) -> None:
+    """Fail FAST (and loud) when the backend is unreachable instead of
+    hanging: device discovery on the axon tunnel blocks indefinitely in a
+    connect-retry loop when the pool relay is down (measured: >25 min with
+    no error). A bounded subprocess probe turns that into a clean exit the
+    driver can record. Skippable via DQC_BENCH_PREFLIGHT=0."""
+    if os.environ.get("DQC_BENCH_PREFLIGHT", "1") == "0":
+        return
+    import subprocess
+
+    code = "import jax; print(len(jax.devices()))"
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        if out.returncode == 0:
+            print(f"# preflight: {out.stdout.strip()} device(s)",
+                  file=sys.stderr)
+            return
+        msg = (out.stderr or out.stdout).strip()[-300:]
+        raise SystemExit(f"benchmark aborted: device probe failed: {msg}")
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"benchmark aborted: device discovery hung >{timeout_s}s "
+            "(backend tunnel down?) — not benchmarking a dead device")
+
+
 def main():
+    _preflight_device()
     result = None
     err = None
     for nq in QUBIT_TRIES:
