@@ -9,12 +9,13 @@ written once — up to 14 qubits' worth of fused gates per sweep.
 This is the PRODUCTION hot path of the plane-layout engine
 (circuit/plane_scan.py): the state lives as real/imag planes across the
 whole layer scan (ops/planes.py), so every eligible dense sweep lands here.
-Measured on TPU v5e at 26 qubits (tuning notes in BENCHMARKS.md):
-8.8 ms per dual sweep at full-f32 precision with ``a_blk=16`` and
-``dimension_semantics=("arbitrary",)`` — 1.7x the XLA complex einsum path
-per group-sweep, near the f32 MXU 6-pass limit (Mosaic rejects
-``Precision.HIGH`` as a flag; ``dot_mode='bf16x3'`` is the manual opt-in
-3-pass split, ops/pallas/dots.py).
+Measured on TPU v5e at 26 qubits (round-3 kernel-bandwidth tables in
+BENCHMARKS.md): 4.6-6.0 ms per dual sweep at full-f32 precision with
+``a_blk=16`` — latency-bound on the 16-slice sublane small-dot loop, not
+MXU-pass-bound (bf16x3 and a_blk/semantics sweeps are flat; ~230 GB/s is
+this kernel's structural floor on v5e). Mosaic rejects ``Precision.HIGH``
+as a flag; ``dot_mode='bf16x3'`` is the manual opt-in 3-pass split
+(ops/pallas/dots.py).
 
 ``diag_tables`` folds a whole preceding diagonal run into this sweep (the
 ddual item, see plane_scan._pair_diag_into_dual). Plane refs may be stored

@@ -1070,3 +1070,79 @@ def test_dhigh_fold_parity(order, plane_mode):
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1,
+                                  pytest.param(2, marks=pytest.mark.slow),
+                                  pytest.param(3, marks=pytest.mark.slow)])
+def test_random_tape_plane_parity(seed, plane_mode):
+    """Property test at plane-engine scale: random mixed tapes (1q/2q dense
+    anywhere incl. high qubits, diagonals of any span, var/const mix, random
+    densities) give identical values and gradients on the plane engine vs
+    the fused XLA path — fuzzes the fold interactions (ddual/dhigh/hpair/
+    mdiag adjacency) that targeted parity tests fix one at a time."""
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(15, 17))
+    c = AutoGradCircuit(n, dtype=C64)
+    var_gates, const_gates = [], []
+
+    def rand_dense(k):
+        m = np.random.default_rng(rng.integers(1 << 30)).standard_normal(
+            (1 << k, 1 << k)) + 1j * np.random.default_rng(
+            rng.integers(1 << 30)).standard_normal((1 << k, 1 << k))
+        q, _ = np.linalg.qr(m)
+        return jnp.asarray(q.astype(np.complex64))
+
+    n_instr = int(rng.integers(12, 25))
+    n_diff = 0
+    for _ in range(n_instr):
+        kind = int(rng.integers(0, 5))
+        var = bool(rng.integers(0, 2))
+        if kind == 0:    # 1q dense anywhere (high qubits exercise dhigh)
+            pos = int(rng.integers(0, n))
+            c.add_gate((pos,), var=var, unitary=True)
+            (var_gates if var else const_gates).append(rand_dense(1))
+        elif kind == 1:  # 2q dense (in-group or cross-group)
+            p = rng.choice(n, size=2, replace=False)
+            c.add_gate((int(p[0]), int(p[1])), var=var, unitary=True)
+            (var_gates if var else const_gates).append(rand_dense(2))
+        elif kind == 2:  # 2q diag
+            p = rng.choice(n, size=2, replace=False)
+            c.add_diag_gate((int(p[0]), int(p[1])), var=var)
+            d = jnp.asarray(np.exp(1j * rng.normal(size=4)).astype(
+                np.complex64))
+            (var_gates if var else const_gates).append(d)
+        elif kind == 3:  # 3q diag (mdiag shapes)
+            p = rng.choice(n, size=3, replace=False)
+            c.add_diag_gate(tuple(int(x) for x in p), var=var)
+            d = jnp.asarray(np.exp(1j * rng.normal(size=8)).astype(
+                np.complex64))
+            (var_gates if var else const_gates).append(d)
+        else:            # density
+            k = int(rng.integers(1, 3))
+            p = rng.choice(n, size=k, replace=False)
+            diff = bool(rng.integers(0, 2))
+            n_diff += int(diff)
+            c.get_dens_op(tuple(int(x) for x in p), with_grad=diff)
+    if n_diff == 0:
+        c.get_q1_dens_op_with_grad(0)
+    _, run = c.build()
+
+    def loss_of(engine):
+        def loss(vg):
+            config.set_plane_engine(engine)
+            dens = run(vg, tuple(const_gates))
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+        return loss
+
+    vg = tuple(var_gates)
+    if not vg:
+        np.testing.assert_allclose(float(loss_of(True)(vg)),
+                                   float(loss_of(False)(vg)), rtol=2e-5)
+        return
+    v_pl, g_pl = jax.value_and_grad(loss_of(True))(vg)
+    v_ref, g_ref = jax.value_and_grad(loss_of(False))(vg)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
