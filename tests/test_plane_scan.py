@@ -1146,3 +1146,64 @@ def test_random_tape_plane_parity(seed, plane_mode):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_distributed_dhigh_segment_parity(plane_mode):
+    """At 20 qubits / 8 devices the local shard is m = 17 (three groups):
+    the layer's 'localized globals' segment plans as [dense(high rotations),
+    diag(entanglers)] and must fold to ONE dhigh pass — value + grads match
+    the XLA distributed engine on the virtual mesh."""
+    from jax.sharding import PartitionSpec as P
+    from dqc_tpu.parallel import dist as pdist, make_mesh
+    from dqc_tpu.parallel.fused_executor import FSeg
+    from dqc_tpu.parallel.plane_scan import (
+        dist_plane_eligible,
+        dist_plane_scanned_layers,
+    )
+    from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
+    from dqc_tpu.circuit import plane_scan as ps
+
+    n, k, L = 20, 3, 1
+    mesh = make_mesh(8)
+    axis = mesh.axis_names[0]
+
+    layer = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        layer.add_q1_var_gate(i)
+    for i in range(n - 1):
+        layer.add_q2_var_gate_diag(i, i + 1)
+    prog = plan_layer_roundtrip(layer.tape, k)
+    assert dist_plane_eligible(prog, C64)
+    seg_kinds = [[it[0] for it in ps.plane_program(di.ftape)]
+                 for di in prog.instructions if isinstance(di, FSeg)]
+    assert any("dhigh" in kinds for kinds in seg_kinds), seg_kinds
+
+    rng = np.random.default_rng(19)
+    stacked = tuple(
+        jnp.asarray(np.stack([rand_su2(rng) for _ in range(L)]))
+        for _ in range(n)
+    ) + tuple(
+        jnp.asarray(np.stack([
+            np.exp(1j * rng.normal() * np.array([1, -1, -1, 1])).astype(np.complex64)
+            for _ in range(L)]))
+        for _ in range(n - 1)
+    )
+
+    def make_fn(layers_fn):
+        def shard_fn(stacked_gates):
+            local = pdist.local_standard_state(n, k, axis, C64)
+            local = layers_fn(prog, axis, local, stacked_gates, ())
+            return jax.lax.psum(jnp.sum(jnp.abs(local[:128]) ** 2), axis)
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), stacked),),
+            out_specs=P(), check_vma=False)
+        return lambda sg: fn(sg).real
+
+    v_p, g_p = jax.value_and_grad(make_fn(dist_plane_scanned_layers))(stacked)
+    v_r, g_r = jax.value_and_grad(make_fn(dist_scanned_layers))(stacked)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
