@@ -1072,7 +1072,8 @@ def test_dhigh_fold_parity(order, plane_mode):
                                    rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("seed", [0, 1,
+@pytest.mark.parametrize("seed", [0,
+                                  pytest.param(1, marks=pytest.mark.slow),
                                   pytest.param(2, marks=pytest.mark.slow),
                                   pytest.param(3, marks=pytest.mark.slow)])
 def test_random_tape_plane_parity(seed, plane_mode):
