@@ -60,6 +60,38 @@ def swap_global_block(local: jax.Array, local_positions: Sequence[int], axis: st
     return _qubits_from_front(swapped, restore, local.shape)
 
 
+def cycle_global_block(local: jax.Array, out_positions: Sequence[int],
+                       in_positions: Sequence[int], axis: str) -> jax.Array:
+    """Two composed block swaps in ONE all-to-all: the 3-cycle
+
+        globals <- locals ``out_positions``,
+        locals ``out_positions`` <- locals ``in_positions``,
+        locals ``in_positions`` <- globals,
+
+    i.e. exactly ``swap_global_block(swap_global_block(x, in_positions),
+    out_positions)`` (bit-significance per tuple order, DSwap convention)
+    at half the collectives and half the relayout passes: both blocks come
+    to the front in one transpose, one all-to-all exchanges the out block
+    with the device axis, and the restore transpose places the received
+    block at ``in_positions`` while moving the in block to
+    ``out_positions``. The inverse is the same cycle with the argument
+    roles swapped."""
+    out_p = tuple(int(p) for p in out_positions)
+    in_p = tuple(int(p) for p in in_positions)
+    assert not set(out_p) & set(in_p), (out_p, in_p)
+    k = len(out_p)
+    mat, restore = _qubits_to_front(local, out_p + in_p, num_qubits(local))
+    m3 = mat.reshape(1 << k, 1 << k, -1)
+    m3 = jax.lax.all_to_all(m3, axis, split_axis=0, concat_axis=0, tiled=True)
+    # axis 0 now carries the old GLOBAL content (destined for in_positions),
+    # axis 1 the old in-block content (destined for out_positions); the
+    # restore maps front block [0:k] -> out_positions and [k:2k] ->
+    # in_positions, so swap the two front sub-axes first
+    m3 = jnp.swapaxes(m3, 0, 1)
+    return _qubits_from_front(m3.reshape(1 << (2 * k), -1), restore,
+                              local.shape)
+
+
 def local_density(local: jax.Array, positions: Sequence[int], axis: str) -> jax.Array:
     """Reduced density matrix of *local* qubits: local partial + psum."""
     positions = tuple(int(p) for p in positions)

@@ -26,7 +26,7 @@ from dqc_tpu.circuit.fusion import FusedTape, fuse_tape
 from dqc_tpu.circuit.ir import Instruction, Tape
 from dqc_tpu.ops import groups as gr
 from dqc_tpu.parallel import dist
-from dqc_tpu.parallel.layout import DApply, DDensity, DistProgram, DSwap
+from dqc_tpu.parallel.layout import DApply, DCycle, DDensity, DistProgram, DSwap
 
 
 @dataclass(frozen=True)
@@ -58,6 +58,36 @@ class DFusedProgram:
             if isinstance(di, DDensity) and di.diff:
                 return i
         return -1
+
+
+def fuse_adjacent_swaps(dprog: DFusedProgram) -> DFusedProgram:
+    """Peephole: every ADJACENT pair of disjoint DSwaps composes into one
+    DCycle — one all-to-all + one relayout pass instead of two of each
+    (the layer roundtrip's trailing layout-restore run is the common
+    producer). The net qubit permutation is identical, so downstream
+    instructions and every gradient are unchanged. Disable with
+    DQC_DIST_FUSE_SWAPS=0."""
+    import os
+
+    if os.environ.get("DQC_DIST_FUSE_SWAPS", "1") == "0":
+        return dprog
+    out: List[object] = []
+    for di in dprog.instructions:
+        if (isinstance(di, DSwap) and out and isinstance(out[-1], DSwap)
+                and not set(di.local_positions) & set(out[-1].local_positions)):
+            first = out.pop()
+            out.append(DCycle(out_positions=di.local_positions,
+                              in_positions=first.local_positions))
+            continue
+        out.append(di)
+    if len(out) == len(dprog.instructions):
+        return dprog
+    return DFusedProgram(
+        n=dprog.n, k=dprog.k, instructions=tuple(out),
+        num_var_gates=dprog.num_var_gates,
+        num_const_gates=dprog.num_const_gates,
+        diff_flags=dprog.diff_flags,
+    )
 
 
 def fuse_distributed(prog: DistProgram) -> DFusedProgram:
@@ -98,11 +128,11 @@ def fuse_distributed(prog: DistProgram) -> DFusedProgram:
         else:
             raise AssertionError(di)
     flush()
-    return DFusedProgram(
+    return fuse_adjacent_swaps(DFusedProgram(
         n=prog.n, k=prog.k, instructions=tuple(out),
         num_var_gates=prog.num_var_gates, num_const_gates=prog.num_const_gates,
         diff_flags=prog.diff_flags,
-    )
+    ))
 
 
 def _seg_gates(seg: FSeg, var_gates, const_gates):
@@ -135,6 +165,10 @@ def dist_fused_run(
         elif isinstance(di, DSwap):
             gram_cache.clear()
             state = dist.swap_global_block(state, di.local_positions, axis)
+        elif isinstance(di, DCycle):
+            gram_cache.clear()
+            state = dist.cycle_global_block(state, di.out_positions,
+                                            di.in_positions, axis)
         elif isinstance(di, DDensity):
             if di.diff or not only_diff:
                 densities.append(gr.density_cached(
@@ -220,6 +254,16 @@ def _bwd(dprog, axis, residuals, density_cts):
                 bwd = gr.to_grouped(
                     dist.swap_global_block(gr.from_grouped(bwd), di.local_positions, axis), m
                 )
+            continue
+        if isinstance(di, DCycle):
+            # inverse cycle: roles swapped
+            fwd = gr.to_grouped(dist.cycle_global_block(
+                gr.from_grouped(fwd), di.in_positions, di.out_positions,
+                axis), m)
+            if bwd is not None:
+                bwd = gr.to_grouped(dist.cycle_global_block(
+                    gr.from_grouped(bwd), di.in_positions, di.out_positions,
+                    axis), m)
             continue
         # FSeg: reverse its fused instructions with segment-local queue cts
         vg, cg = _seg_gates(di, var_gates, const_gates)

@@ -38,6 +38,17 @@ class DSwap:
 
 
 @dataclass(frozen=True)
+class DCycle:
+    """Two composed DSwaps in one all-to-all (dist.cycle_global_block):
+    globals <- out, out <- in, in <- globals. Equals applying
+    DSwap(in_positions) then DSwap(out_positions); the inverse cycle swaps
+    the two tuples. Emitted by the fused-program swap peephole
+    (parallel/scan.fuse_adjacent_swaps)."""
+    out_positions: Tuple[int, ...]  # k local slots -> device axis, msb-first
+    in_positions: Tuple[int, ...]   # k local slots <- device axis, msb-first
+
+
+@dataclass(frozen=True)
 class DDensity:
     positions: Tuple[int, ...]      # physical local slots, msb-first
     diff: bool

@@ -27,7 +27,7 @@ from dqc_tpu.circuit import plane_scan as ps
 from dqc_tpu.ops import planes as pl
 from dqc_tpu.parallel import dist
 from dqc_tpu.parallel.fused_executor import DFusedProgram, FSeg, _seg_gates
-from dqc_tpu.parallel.layout import DSwap
+from dqc_tpu.parallel.layout import DCycle, DSwap
 
 C64 = jnp.complex64
 
@@ -59,10 +59,25 @@ def _swap_planes(xr, xi, positions, axis):
     return xr, xi
 
 
+def _cycle_planes(xr, xi, di: DCycle, axis, *, inverse: bool = False):
+    out_p, in_p = di.out_positions, di.in_positions
+    if inverse:
+        out_p, in_p = in_p, out_p
+    shape = xr.shape
+    xr = dist.cycle_global_block(xr.reshape(-1), out_p, in_p,
+                                 axis).reshape(shape)
+    xi = dist.cycle_global_block(xi.reshape(-1), out_p, in_p,
+                                 axis).reshape(shape)
+    return xr, xi
+
+
 def _forward_layer(dprog: DFusedProgram, axis: str, xr, xi, var_gates, const_gates):
     for di in dprog.instructions:
         if isinstance(di, DSwap):
             xr, xi = _swap_planes(xr, xi, di.local_positions, axis)
+            continue
+        if isinstance(di, DCycle):
+            xr, xi = _cycle_planes(xr, xi, di, axis)
             continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)
@@ -78,6 +93,10 @@ def _backward_layer(dprog: DFusedProgram, axis: str, fxr, fxi, bxr, bxi,
         if isinstance(di, DSwap):
             fxr, fxi = _swap_planes(fxr, fxi, di.local_positions, axis)
             bxr, bxi = _swap_planes(bxr, bxi, di.local_positions, axis)
+            continue
+        if isinstance(di, DCycle):
+            fxr, fxi = _cycle_planes(fxr, fxi, di, axis, inverse=True)
+            bxr, bxi = _cycle_planes(bxr, bxi, di, axis, inverse=True)
             continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)
@@ -220,6 +239,9 @@ def _epilogue_forward(dprog: DFusedProgram, axis: str, xr, xi, var_gates,
         if isinstance(di, DSwap):
             xr, xi = _swap_planes(xr, xi, di.local_positions, axis)
             continue
+        if isinstance(di, DCycle):
+            xr, xi = _cycle_planes(xr, xi, di, axis)
+            continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)
         xr, xi = ps._apply_forward(xr, xi, ps.plane_program(di.ftape),
@@ -319,6 +341,11 @@ def _std_bwd(pro_prog, layer_prog, epi_prog, axis, residuals, density_cts):
             fxr, fxi = _swap_planes(fxr, fxi, di.local_positions, axis)
             if bxr is not None:
                 bxr, bxi = _swap_planes(bxr, bxi, di.local_positions, axis)
+            continue
+        if isinstance(di, DCycle):
+            fxr, fxi = _cycle_planes(fxr, fxi, di, axis, inverse=True)
+            if bxr is not None:
+                bxr, bxi = _cycle_planes(bxr, bxi, di, axis, inverse=True)
             continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, (), ())

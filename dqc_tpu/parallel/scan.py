@@ -32,13 +32,20 @@ from dqc_tpu.parallel.fused_executor import (
     dist_fused_run,
     fuse_distributed,
 )
-from dqc_tpu.parallel.layout import DDensity, DistProgram, DSwap, plan_distribution
+from dqc_tpu.parallel.layout import (
+    DCycle,
+    DDensity,
+    DistProgram,
+    DSwap,
+    plan_distribution,
+)
 
 
 def roundtrip_program(prog: DistProgram) -> DFusedProgram:
     """Append the program's swaps in reverse so the final layout equals the
     initial one (block swaps are involutions), then fuse. Gate-only programs
-    only."""
+    only. Adjacent restore swaps compose into single-collective DCycles
+    (fused_executor.fuse_adjacent_swaps, applied by fuse_distributed)."""
     if any(isinstance(di, DDensity) for di in prog.instructions):
         raise ValueError("round-trip programs must contain gates only")
     swaps = [di for di in prog.instructions if isinstance(di, DSwap)]
@@ -72,6 +79,15 @@ def _layer_backward(dprog: DFusedProgram, axis: str, fwd_flat, bwd_flat,
             bwd = gr.to_grouped(
                 dist.swap_global_block(gr.from_grouped(bwd), di.local_positions, axis), m
             )
+            continue
+        if isinstance(di, DCycle):
+            # inverse cycle: roles swapped
+            fwd = gr.to_grouped(dist.cycle_global_block(
+                gr.from_grouped(fwd), di.in_positions, di.out_positions,
+                axis), m)
+            bwd = gr.to_grouped(dist.cycle_global_block(
+                gr.from_grouped(bwd), di.in_positions, di.out_positions,
+                axis), m)
             continue
         assert isinstance(di, FSeg), di
         vg, cg = _seg_gates(di, var_gates, const_gates)

@@ -327,3 +327,89 @@ def test_34q_pod_slice_compiles():
     params = m.init_params(jax.random.PRNGKey(0))
     step = jax.jit(jax.value_and_grad(energy))
     step.lower(params).compile()
+
+
+def test_cycle_global_block_matches_swap_pair(mesh8):
+    """dist.cycle_global_block == two sequential swap_global_block calls
+    (bit-exact: same permutation, one all-to-all) and its inverse is the
+    role-swapped cycle."""
+    from jax.sharding import PartitionSpec
+    from dqc_tpu.parallel import dist
+
+    n = 12
+    axis = mesh8.axis_names[0]
+    spec = PartitionSpec(axis)
+    rng = np.random.default_rng(0)
+    full = (rng.standard_normal(1 << n)
+            + 1j * rng.standard_normal(1 << n)).astype(np.complex64)
+    P_a, P_b = (2, 1, 0), (8, 7, 6)
+
+    def run(fn):
+        f = jax.shard_map(fn, mesh=mesh8, in_specs=spec, out_specs=spec,
+                          check_vma=False)
+        return np.asarray(f(jnp.asarray(full)))
+
+    want = run(lambda x: dist.swap_global_block(
+        dist.swap_global_block(x, P_a, axis), P_b, axis))
+    got = run(lambda x: dist.cycle_global_block(x, P_b, P_a, axis))
+    np.testing.assert_array_equal(got, want)
+    back = run(lambda x: dist.cycle_global_block(
+        dist.cycle_global_block(x, P_b, P_a, axis), P_a, P_b, axis))
+    np.testing.assert_array_equal(back, full)
+
+
+def test_swap_fuse_peephole_parity(mesh8, monkeypatch):
+    """The adjacent-swap peephole (DCycle) leaves values and every gradient
+    bit-identical to the unfused two-swap program on the scanned layer."""
+    from jax.sharding import PartitionSpec
+    from dqc_tpu.parallel import dist as pdist
+    from dqc_tpu.parallel.layout import DCycle
+    from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
+
+    n, k, L = 18, 3, 1
+    axis = mesh8.axis_names[0]
+    spec = PartitionSpec()
+
+    layer = AutoGradCircuit(n, dtype=jnp.complex64)
+    for i in range(n):
+        layer.add_q1_var_gate(i)
+    for i in range(n - 1):
+        layer.add_q2_var_gate_diag(i, i + 1)
+
+    rng = np.random.default_rng(3)
+    su2 = [oracles.random_unitary(rng, 1).astype(np.complex64)
+           for _ in range(n * L)]
+    stacked = tuple(
+        jnp.asarray(np.stack(su2[q * L:(q + 1) * L])) for q in range(n)
+    ) + tuple(
+        jnp.asarray(np.stack([
+            np.exp(1j * rng.normal()
+                   * np.array([1, -1, -1, 1])).astype(np.complex64)
+            for _ in range(L)]))
+        for _ in range(n - 1)
+    )
+
+    def value_grad(prog):
+        def shard_fn(sg):
+            local = pdist.local_standard_state(n, k, axis, jnp.complex64)
+            local = dist_scanned_layers(prog, axis, local, sg, ())
+            return jax.lax.psum(jnp.sum(jnp.abs(local[:64]) ** 2), axis)
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh8,
+            in_specs=(jax.tree_util.tree_map(lambda _: spec, stacked),),
+            out_specs=spec, check_vma=False)
+        return jax.value_and_grad(lambda sg: fn(sg).real)(stacked)
+
+    monkeypatch.setenv("DQC_DIST_FUSE_SWAPS", "0")
+    prog_off = plan_layer_roundtrip(layer.tape, k)
+    monkeypatch.setenv("DQC_DIST_FUSE_SWAPS", "1")
+    prog_on = plan_layer_roundtrip(layer.tape, k)
+    assert any(isinstance(d, DCycle) for d in prog_on.instructions)
+    assert not any(isinstance(d, DCycle) for d in prog_off.instructions)
+
+    v1, g1 = value_grad(prog_on)
+    v0, g0 = value_grad(prog_off)
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
