@@ -358,6 +358,7 @@ def test_cycle_global_block_matches_swap_pair(mesh8):
     np.testing.assert_array_equal(back, full)
 
 
+@pytest.mark.slow
 def test_swap_fuse_peephole_parity(mesh8, monkeypatch):
     """The adjacent-swap peephole (DCycle) leaves values and every gradient
     bit-identical to the unfused two-swap program on the scanned layer."""
