@@ -797,3 +797,56 @@ def test_block_backward_high_with_fused_diag(diag_first_fwd, m_blk):
     np.testing.assert_allclose(qsl, Qa.sum(axis=0), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(qas, Qa.sum(axis=2), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(qal, Qa.sum(axis=1), rtol=2e-3, atol=2e-3)
+
+
+def test_block_backward_high_fused_diag_bf16_storage():
+    """dhigh adjoint with REDUCED-storage plane refs (bf16 in/out, f32
+    in-kernel compute — the 30q mixed-storage mode): matches the same
+    kernel on f32 refs to bf16 rounding."""
+    from dqc_tpu.ops.pallas.block_backward import block_backward_high
+
+    rng = np.random.default_rng(9)
+    A1, X, post = 1, 8, 1
+    M = post * 128
+    shp = (A1, X, M, 128)
+    f = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    b = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    E = oracles.random_unitary(rng, 3).astype(np.complex64)
+    Einv = np.conj(E.T)
+    view, _ = _dh_synth(rng, A1, X, post)
+    tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i = view
+
+    def inv_pair(r, i):
+        c = 1.0 / (np.asarray(r, np.complex128) + 1j * np.asarray(i))
+        return (jnp.asarray(c.real.astype(np.float32)),
+                jnp.asarray(c.imag.astype(np.float32)))
+
+    view_inv = (*inv_pair(tsl_r, tsl_i), *inv_pair(tas_r, tas_i),
+                *inv_pair(tal_r, tal_i))
+    view_inv = (view_inv[0], view_inv[1], view_inv[2], view_inv[3],
+                view_inv[4], view_inv[5])
+
+    def run(dtype_b):
+        return block_backward_high(
+            jnp.asarray(f.real), jnp.asarray(f.imag),
+            jnp.asarray(b.real).astype(dtype_b),
+            jnp.asarray(b.imag).astype(dtype_b),
+            jnp.asarray(Einv.real), jnp.asarray(Einv.imag),
+            jnp.asarray(E.real), jnp.asarray(E.imag),
+            diag_inv_tables=view_inv, diag_tables=view,
+            diag_first_fwd=True, diag_q=True, interpret=True)
+
+    ref = run(jnp.float32)
+    red = run(jnp.bfloat16)
+    # bwd refs stay bf16 on the way out; fwd refs f32
+    assert red[2].dtype == jnp.bfloat16 and red[0].dtype == jnp.float32
+    for i in (0, 1):   # fwd uncompute: inputs identical, rounding only via
+        np.testing.assert_allclose(          # the bf16 b-side ops -> none
+            np.asarray(red[i]), np.asarray(ref[i]), rtol=1e-5, atol=1e-5)
+    for i in (2, 3, 4, 5):  # transported bwd + T0: bf16-rounded inputs
+        r = np.asarray(ref[i], np.float32)
+        np.testing.assert_allclose(
+            np.asarray(red[i], np.float32), r,
+            rtol=0.1, atol=0.02 * np.abs(r).max())
