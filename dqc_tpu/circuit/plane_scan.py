@@ -212,20 +212,32 @@ def _sink_diag_items(items: Tuple[Tuple, ...], ftape: FusedTape):
 
 
 def _pair_diag_into_dual(items: Tuple[Tuple, ...], ftape: FusedTape):
-    """Fold a diagonal run IMMEDIATELY followed by a minor dense sweep into
-    one fused kernel item ``('ddual', run, i, j)`` — the VQE/QAOA layer
-    shape (entangler ring, then rotations): the dual kernel pre-multiplies
-    the run's tables in-cell and its adjoint rolls (fwd, bwd) through the
-    run in the same pass, saving one full-state pass forward and two
-    backward per layer."""
+    """Fold a diagonal run ADJACENT to a minor dense sweep into one fused
+    kernel item ``('ddual', run, i, j, diag_first)`` — either tape order:
+    [run, dense] (the VQE/QAOA shape: entangler ring, then rotations;
+    ``diag_first=True``) or [dense, run] (e.g. the distributed layer
+    segment that rotates swapped-in qubits on the lane group and then runs
+    their entanglers). The dual kernel multiplies the run's tables in-cell
+    on the matching side and its adjoint rolls (fwd, bwd) through the run
+    in the same pass, saving one full-state pass forward and two backward
+    per layer."""
+
+    def minor_dense(item):
+        if item[0] != "dense":
+            return False
+        fi = ftape.instructions[item[1]]
+        return isinstance(fi, FBlock) and fi.group in (0, 1)
+
     out: List[Tuple] = []
     for item in items:
-        if (out and out[-1][0] == "diag" and item[0] == "dense"):
-            fi = ftape.instructions[item[1]]
-            if isinstance(fi, FBlock) and fi.group in (0, 1):
-                run = out.pop()[1]
-                out.append(("ddual", run, item[1], item[2]))
-                continue
+        if out and out[-1][0] == "diag" and minor_dense(item):
+            run = out.pop()[1]
+            out.append(("ddual", run, item[1], item[2], True))
+            continue
+        if item[0] == "diag" and out and minor_dense(out[-1]):
+            prev = out.pop()
+            out.append(("ddual", item[1], prev[1], prev[2], False))
+            continue
         out.append(item)
     return tuple(out)
 
@@ -854,20 +866,33 @@ def _hpair_ops(item, ftape, var_gates, const_gates, *, inverse=False):
     return El, Et
 
 
-def _apply_ddual(xr, xi, item, ftape, var_gates, const_gates):
-    """Fused [diag run + minor dense sweep] forward: one kernel pass."""
+def _ddual_order(item) -> bool:
+    """diag_first flag of a ddual item (older 4-tuples = diag-first)."""
+    return item[4] if len(item) > 4 else True
+
+
+def _apply_ddual(xr, xi, item, ftape, var_gates, const_gates, *,
+                 inverse: bool = False):
+    """Fused [diag run + minor dense sweep] forward (either tape order):
+    one kernel pass. ``inverse=True`` un-applies the item (inverse
+    operands, flipped order) for the zero-cotangent uncompute walk."""
     n = ftape.n
     sizes = gr.group_sizes_low_first(n)
-    T = _diag_run_tables(item[1], ftape, var_gates, const_gates)
+    T = _diag_run_tables(item[1], ftape, var_gates, const_gates,
+                         inverse=inverse)
     fi = ftape.instructions[item[2]]
-    E = _block_operator(fi, var_gates, const_gates, sizes[fi.group])
+    E = _block_operator(fi, var_gates, const_gates, sizes[fi.group],
+                        inverse=inverse, reverse=inverse)
     if item[3] is not None:
         fj = ftape.instructions[item[3]]
-        Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group])
+        Ep = _block_operator(fj, var_gates, const_gates, sizes[fj.group],
+                             inverse=inverse, reverse=inverse)
         E0, E1 = (E, Ep) if fi.group == 0 else (Ep, E)
     else:
         E0, E1 = (E, None) if fi.group == 0 else (None, E)
-    return pl.apply_dual(xr, xi, E0, E1, diag=T, interpret=_interpret())
+    diag_first = _ddual_order(item) if not inverse else not _ddual_order(item)
+    return pl.apply_dual(xr, xi, E0, E1, diag=T, diag_first=diag_first,
+                         interpret=_interpret())
 
 
 def _apply_dhigh_item(xr, xi, item, ftape, var_gates, const_gates, *,
@@ -1093,16 +1118,9 @@ def _uncompute_program(fxr, fxi, program, ftape, var_gates, const_gates):
                                          interpret=_interpret())
             continue
         if item[0] == "ddual":
-            # forward was [diag run, dense (pair)]: undo dense then run
-            for idx in (item[3], item[2]):
-                if idx is not None:
-                    fxr, fxi = _uncompute_only(
-                        fxr, fxi, ftape.instructions[idx], ftape, var_gates,
-                        const_gates)
-            Tinv = _diag_run_tables(item[1], ftape, var_gates, const_gates,
-                                    inverse=True)
-            fxr, fxi = pl.apply_diag_run(fxr, fxi, Tinv,
-                                         interpret=_interpret())
+            # one fused inverse pass (inverse operands, flipped order)
+            fxr, fxi = _apply_ddual(fxr, fxi, item, ftape, var_gates,
+                                    const_gates, inverse=True)
             continue
         if item[0] == "dhigh":
             fxr, fxi = _apply_dhigh_item(fxr, fxi, item, ftape, var_gates,
@@ -1209,7 +1227,8 @@ def _backward_ddual(fxr, fxi, bxr, bxi, item, ftape, var_gates,
         fxr, fxi, bxr, bxi, e0ir, e0ii, e0r, e0i, e1ir, e1ii, e1r, e1i,
         g0_first=g0_first, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
         diag_inv_tables=pl._diag_table_planes(Tinv),
-        diag_tables=pl._diag_table_planes(T), diag_q=with_q,
+        diag_tables=pl._diag_table_planes(T),
+        diag_first_fwd=_ddual_order(item), diag_q=with_q,
         interpret=_interpret())
     fxr, fxi, bxr, bxi = out[0], out[1], out[2], out[3]
     if lane_fi is not None and lane_fi.has_var:
@@ -1947,11 +1966,15 @@ def _trim_program(program, stop_after: Optional[int]):
             if whole:
                 out.append(item)
             else:
+                parts = []
                 if keep_run:
-                    out.append(("diag", keep_run))
+                    parts.append(("diag", keep_run))
                 if keep_dense:
-                    out.append(("dense", keep_dense[0],
-                                keep_dense[1] if len(keep_dense) > 1 else None))
+                    dense = ("dense", keep_dense[0],
+                             keep_dense[1] if len(keep_dense) > 1 else None)
+                    parts = (parts + [dense] if _ddual_order(item)
+                             else [dense] + parts)
+                out.extend(parts)
         elif item[0] == "dhigh":
             keep_run = tuple(x for x in item[1] if x <= stop_after)
             keep_dense = item[2] <= stop_after

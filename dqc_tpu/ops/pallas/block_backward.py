@@ -228,7 +228,8 @@ def _diag_tile_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     return _cmul(xr, xi, mr, mi)
 
 
-def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
+def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
+                 diag_first_fwd, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
                  l_e1, l_e2, l_e3,         # lane E0 (right-mult for transport)
@@ -238,7 +239,9 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
     """Adjoint step for a lane-group AND a sublane-group block in ONE read of
     the (fwd, bwd) planes. ``g0_first``: True when the lane block precedes
     the sublane block in tape order (then the sublane block is uncomputed
-    first)."""
+    first). ``diag_first_fwd``: the fused run preceded the dual in the
+    forward ([run, dual] — rolled back dense-then-run); False = [dual, run]
+    (run rolled back FIRST, before the dense stages)."""
     if has_diag:
         (isl_r, isl_i, ias_r, ias_i, ial_r, ial_i,
          tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:12], rest[12:]
@@ -297,13 +300,45 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
     # plane refs may be stored reduced (config.set_state_storage): every ref
     # read upcasts to f32 (including re-reads of values staged through the
     # output refs), every ref store downcasts
+    src_f, src_fi, src_b, src_bi = fr_ref, fi_ref, br_ref, bi_ref
+    if has_diag and not diag_first_fwd:
+        # forward was [dual, run]: roll (fwd, bwd) through the run FIRST —
+        # Q pair product before the updates (diag.py semantics), staged
+        # through the output refs for the dense stages below
+        fr_c = fr_ref[:].astype(F32)
+        fi_c = fi_ref[:].astype(F32)
+        br_c = br_ref[:].astype(F32)
+        bi_c = bi_ref[:].astype(F32)
+        if diag_q:
+            qr, qi = _cmul(br_c, bi_c, fr_c, fi_c)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                qsl_r_ref[:] = jnp.zeros_like(qsl_r_ref)
+                qsl_i_ref[:] = jnp.zeros_like(qsl_i_ref)
+
+            qsl_r_ref[:] += jnp.sum(qr, axis=0)
+            qsl_i_ref[:] += jnp.sum(qi, axis=0)
+            qas_r_ref[:] = jnp.sum(qr, axis=2)
+            qas_i_ref[:] = jnp.sum(qi, axis=2)
+            qal_r_ref[:] = jnp.sum(qr, axis=1)
+            qal_i_ref[:] = jnp.sum(qi, axis=1)
+        fr_c, fi_c = _diag_tile_mul(fr_c, fi_c, isl_r, isl_i, ias_r, ias_i,
+                                    ial_r, ial_i)
+        br_c, bi_c = _diag_tile_mul(br_c, bi_c, tsl_r, tsl_i, tas_r, tas_i,
+                                    tal_r, tal_i)
+        fir_ref[:] = fr_c.astype(fir_ref.dtype)
+        fii_ref[:] = fi_c.astype(fii_ref.dtype)
+        bnr_ref[:] = br_c.astype(bnr_ref.dtype)
+        bni_ref[:] = bi_c.astype(bni_ref.dtype)
+        src_f, src_fi, src_b, src_bi = fir_ref, fii_ref, bnr_ref, bni_ref
     if g0_first:
         # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
         # (per slice, staged through the output refs), then lane on the tile
         for a in range(a_blk):
             f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
-                fr_ref[a].astype(F32), fi_ref[a].astype(F32),
-                br_ref[a].astype(F32), bi_ref[a].astype(F32), (t0s_r, t0s_i))
+                src_f[a].astype(F32), src_fi[a].astype(F32),
+                src_b[a].astype(F32), src_bi[a].astype(F32), (t0s_r, t0s_i))
             fir_ref[a, :, :] = f1r.astype(fir_ref.dtype)
             fii_ref[a, :, :] = f1i.astype(fii_ref.dtype)
             bnr_ref[a, :, :] = b1r.astype(bnr_ref.dtype)
@@ -320,10 +355,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
         bni_ref[:] = b0i.reshape(bni_ref.shape).astype(bni_ref.dtype)
     else:
         # tape order [B1(sublane), B0(lane)] -> lane first on the full tile
-        fr = fr_ref[:].reshape(-1, 128).astype(F32)
-        fi = fi_ref[:].reshape(-1, 128).astype(F32)
-        br = br_ref[:].reshape(-1, 128).astype(F32)
-        bi = bi_ref[:].reshape(-1, 128).astype(F32)
+        fr = src_f[:].reshape(-1, 128).astype(F32)
+        fi = src_fi[:].reshape(-1, 128).astype(F32)
+        br = src_b[:].reshape(-1, 128).astype(F32)
+        bi = src_bi[:].reshape(-1, 128).astype(F32)
         f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
                                                      (t0l_r, t0l_i))
         fir_ref[:] = f0r.reshape(fir_ref.shape).astype(fir_ref.dtype)
@@ -351,7 +386,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
     t0s_r_ref[:] += t0s_r
     t0s_i_ref[:] += t0s_i
 
-    if has_diag:
+    if has_diag and diag_first_fwd:
         # the diagonal run preceded the dual in the forward: roll (fwd, bwd)
         # through it here — Q pair product BEFORE the updates, then
         # fwd *= D_inv, bwd *= D (ops/pallas/diag.py semantics)
@@ -385,6 +420,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag, diag_q,
 
 @functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
                                              "dot_mode", "bwd_dot_mode",
+                                             "diag_first_fwd",
                                              "diag_q", "interpret"))
 def block_backward_dual(fr, fi, br, bi,
                         e0inv_r, e0inv_i, e0_r, e0_i,
@@ -392,7 +428,8 @@ def block_backward_dual(fr, fi, br, bi,
                         *, g0_first: bool = True, a_blk: int = 4,
                         dot_mode: str = "f32", bwd_dot_mode: str = None,
                         diag_inv_tables=None,
-                        diag_tables=None, diag_q: bool = False,
+                        diag_tables=None, diag_first_fwd: bool = True,
+                        diag_q: bool = False,
                         interpret: bool = False):
     """One-pass adjoint step for a PAIR of blocks on the lane (E0) and
     sublane (E1) groups — the backward mirror of dual_group_apply_planes.
@@ -420,7 +457,7 @@ def block_backward_dual(fr, fi, br, bi,
     has_diag = diag_tables is not None
     kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode,
                              bwd_dot_mode or dot_mode,
-                             has_diag, diag_q and has_diag)
+                             has_diag, diag_first_fwd, diag_q and has_diag)
     A_ = fr.shape[0]
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)

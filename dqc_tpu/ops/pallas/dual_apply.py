@@ -56,8 +56,8 @@ def _diag_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     return _cmul(xr, xi, mr, mi)
 
 
-def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
-            k1, k2, k3, m1, m2, m3, *rest):
+def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, diag_first,
+            xr_ref, xi_ref, k1, k2, k3, m1, m2, m3, *rest):
     if has_diag:
         (tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i), rest = rest[:6], rest[6:]
     if has_acc:
@@ -70,10 +70,18 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
     # loads upcast to f32, all VMEM compute is f32, stores downcast
     xr = xr_ref[:].astype(F32)
     xi = xi_ref[:].astype(F32)
-    if has_diag:
+    dr = di = None
+    if has_diag and diag_first:
         # pre-multiply by the fused diagonal run (applied BEFORE the dual
         # gates in the forward program) — zero extra HBM passes
         xr, xi = _diag_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+    elif has_diag:
+        # the run FOLLOWS the dual gates: multiply per a-slice post-dots
+        mr, mi = _cmul(
+            tas_r[:][:, :, None], tas_i[:][:, :, None],
+            tal_r[:][:, None, :], tal_i[:][:, None, :],
+        )
+        dr, di = _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
 
     # lane group: y = x @ El^T via Karatsuba (k1 = El^T, k2 = (El+iEl_i)^T
     # style combinations precomputed by the wrapper)
@@ -93,6 +101,8 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, xr_ref, xi_ref,
         v3 = dot(m3[:], ar)
         vr = v1 - v2
         vi = v1 + v3
+        if dr is not None:
+            vr, vi = _cmul(vr, vi, dr[a], di[a])
         if conj:
             vi = -vi
         if has_acc:
@@ -217,10 +227,11 @@ def dual_multi_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *,
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",
                                              "conj", "out_dtype",
-                                             "interpret"))
+                                             "diag_first", "interpret"))
 def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
                             dot_mode: str = "f32", alias: bool = True,
                             conj: bool = False, acc=None, diag_tables=None,
+                            diag_first: bool = True,
                             out_dtype=None, interpret: bool = False):
     """Apply lane-group operator ``el_r + i el_i`` and sublane-group operator
     ``em_r + i em_i`` to a plane-layout state ``(A, 128, 128) x 2`` in one
@@ -252,7 +263,7 @@ def dual_group_apply_planes(xr, xi, el_r, el_i, em_r, em_i, *, a_blk: int = 16,
     has_acc = acc is not None
     has_diag = diag_tables is not None
     kern = functools.partial(_kernel, a_blk, dot_mode, conj, has_acc,
-                             has_diag)
+                             has_diag, diag_first)
     big = pl.BlockSpec((a_blk, 128, 128), bs, memory_space=pltpu.VMEM)
     tab_sl = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
     tab_a = pl.BlockSpec((a_blk, 128), cm.blk2, memory_space=pltpu.VMEM)

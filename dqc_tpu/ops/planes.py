@@ -260,11 +260,13 @@ def _diag_table_planes(tables):
 
 def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                *, alias: bool = True, conj: bool = False, acc=None,
-               diag=None, out_dtype=None, interpret: bool = False):
+               diag=None, diag_first: bool = True, out_dtype=None,
+               interpret: bool = False):
     """One HBM pass applying lane-group operator ``E0`` and sublane-group
     operator ``E1`` (either may be None = identity; both 128x128 complex).
-    ``diag``: complex (tsl, tas, tal) tables of a fused diagonal run to
-    pre-multiply BEFORE the dual gates (same pass)."""
+    ``diag``: complex (tsl, tas, tal) tables of a fused diagonal run
+    multiplied in the same pass — BEFORE the dual gates when ``diag_first``
+    (tape order [run, dense]), AFTER them otherwise ([dense, run])."""
     eye = np.eye(128, dtype=np.float32)
     zr = np.zeros((128, 128), dtype=np.float32)
     e0r, e0i = op_planes(E0) if E0 is not None else (eye, zr)
@@ -273,6 +275,7 @@ def apply_dual(xr, xi, E0: Optional[jax.Array], E1: Optional[jax.Array],
                                    dot_mode=config.kernel_dot_mode(),
                                    alias=alias, conj=conj, acc=acc,
                                    diag_tables=_diag_table_planes(diag),
+                                   diag_first=diag_first,
                                    out_dtype=out_dtype, interpret=interpret)
 
 

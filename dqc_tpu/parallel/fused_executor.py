@@ -47,6 +47,12 @@ class DFusedProgram:
     num_var_gates: int
     num_const_gates: int
     diff_flags: Tuple[bool, ...]
+    # set when the tape was reordered for locality (layout.
+    # reorder_for_locality): perm[j] = ORIGINAL queue index of this
+    # program's j-th var/const gate; executors permute gate tuples in and
+    # inverse-permute cotangents out. None = tape order.
+    var_perm: Optional[Tuple[int, ...]] = None
+    const_perm: Optional[Tuple[int, ...]] = None
 
     @property
     def m(self) -> int:
@@ -58,6 +64,23 @@ class DFusedProgram:
             if isinstance(di, DDensity) and di.diff:
                 return i
         return -1
+
+
+def apply_gate_perm(gates, perm):
+    """Caller-order gate tuple -> program-order (DFusedProgram.var_perm)."""
+    if perm is None:
+        return tuple(gates)
+    return tuple(gates[i] for i in perm)
+
+
+def invert_ct_perm(cts, perm):
+    """Program-order cotangents -> caller order."""
+    if perm is None:
+        return tuple(cts)
+    out = [None] * len(cts)
+    for j, i in enumerate(perm):
+        out[i] = cts[j]
+    return tuple(out)
 
 
 def fuse_adjacent_swaps(dprog: DFusedProgram) -> DFusedProgram:
@@ -87,6 +110,7 @@ def fuse_adjacent_swaps(dprog: DFusedProgram) -> DFusedProgram:
         num_var_gates=dprog.num_var_gates,
         num_const_gates=dprog.num_const_gates,
         diff_flags=dprog.diff_flags,
+        var_perm=dprog.var_perm, const_perm=dprog.const_perm,
     )
 
 

@@ -59,8 +59,22 @@ def roundtrip_program(prog: DistProgram) -> DFusedProgram:
 
 
 def plan_layer_roundtrip(layer_tape: Tape, k: int) -> DFusedProgram:
-    """Compile a gate-only layer for a 2^k mesh with layout periodicity."""
-    return roundtrip_program(plan_distribution(layer_tape, k))
+    """Compile a gate-only layer for a 2^k mesh with layout periodicity.
+    The tape is first reordered for locality (commutation-legal batching,
+    layout.reorder_for_locality) so commuting gates run before the swap
+    that would otherwise split them across layouts; the returned program
+    carries the var/const permutations and the executors map caller-order
+    gates/cotangents transparently."""
+    import dataclasses
+
+    from dqc_tpu.parallel.layout import reorder_for_locality
+
+    tape2, var_perm, const_perm = reorder_for_locality(layer_tape, k)
+    dprog = roundtrip_program(plan_distribution(tape2, k))
+    if var_perm is None and const_perm is None:
+        return dprog
+    return dataclasses.replace(dprog, var_perm=var_perm,
+                               const_perm=const_perm)
 
 
 def _layer_backward(dprog: DFusedProgram, axis: str, fwd_flat, bwd_flat,
@@ -104,13 +118,19 @@ def _layer_backward(dprog: DFusedProgram, axis: str, fwd_flat, bwd_flat,
 def dist_scanned_layers(dprog: DFusedProgram, axis: str, local_state,
                         stacked_var_gates, const_gates):
     """Apply the (layout-periodic) distributed layer L times; leaves of
-    ``stacked_var_gates`` carry a leading layer axis. Returns the final
-    local shard."""
+    ``stacked_var_gates`` carry a leading layer axis (caller/tape order —
+    a locality-reordered program's permutation is applied internally).
+    Returns the final local shard."""
+    from dqc_tpu.parallel.fused_executor import apply_gate_perm
+
+    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
+    cg = apply_gate_perm(const_gates, dprog.const_perm)
+
     def body(state, layer_gates):
-        _, state = dist_fused_run(dprog, axis, state, layer_gates, const_gates)
+        _, state = dist_fused_run(dprog, axis, state, layer_gates, cg)
         return state, None
 
-    final, _ = jax.lax.scan(body, jnp.asarray(local_state), stacked_var_gates)
+    final, _ = jax.lax.scan(body, jnp.asarray(local_state), svg)
     return final
 
 
@@ -120,12 +140,16 @@ def _fwd(dprog, axis, local_state, stacked_var_gates, const_gates):
 
 
 def _bwd(dprog, axis, residuals, ct):
+    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
+
     final, local_state, stacked_var_gates, const_gates = residuals
+    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
+    cg = apply_gate_perm(const_gates, dprog.const_perm)
 
     def body(carry, layer_gates):
         fwd_flat, bwd_flat = carry
         fwd_flat, bwd_flat, cts = _layer_backward(
-            dprog, axis, fwd_flat, bwd_flat, layer_gates, const_gates
+            dprog, axis, fwd_flat, bwd_flat, layer_gates, cg
         )
         cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
         return (fwd_flat, bwd_flat), cts
@@ -133,12 +157,13 @@ def _bwd(dprog, axis, residuals, ct):
     final = jnp.asarray(final)
     (fwd0, bwd0), stacked_cts = jax.lax.scan(
         body, (final, jnp.asarray(ct).astype(final.dtype)),
-        stacked_var_gates, reverse=True,
+        svg, reverse=True,
     )
     # per-layer cts are per-shard partials; one psum over the stacked result
     stacked_cts = jax.tree_util.tree_map(
         lambda x: jax.lax.psum(x, axis), stacked_cts
     )
+    stacked_cts = invert_ct_perm(stacked_cts, dprog.var_perm)
     init_ref = jnp.asarray(local_state)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return bwd0.astype(init_ref.dtype), stacked_cts, const_cts

@@ -963,13 +963,13 @@ def test_sink_diag_items_schedule():
 
 
 def test_rotated_scan_parity(plane_mode):
-    """Const trailing diag run -> rotated scan ((R D)^L = D (R D)^(L-1) R):
-    value + every cotangent (gates AND initial state) match the XLA engine
-    through plane_scanned_layers; the std scan+epilogue op's rotated path
-    is covered model-level by test_model_dispatch_parity (cz ansatz,
-    L=2 -> rotation fires)."""
-    from dqc_tpu.circuit.plane_scan import (_rotatable_const_diag,
-                                            plane_program)
+    """Const trailing diag run: the rotations-then-entanglers layer now
+    folds WHOLE into one ddual-after kernel pass (subsuming the scan
+    rotation for minor-adjacent runs — the rotation path itself is pinned
+    by test_rotation_behind_barrier below); value + every cotangent
+    (gates AND the initial state) match the XLA engine through
+    plane_scanned_layers."""
+    from dqc_tpu.circuit.plane_scan import plane_program
 
     n = 14
     c = AutoGradCircuit(n, dtype=C64)
@@ -981,7 +981,8 @@ def test_rotated_scan_parity(plane_mode):
         c.add_q2_const_gate_diag(i, i + 1)
         consts.append(cz)
     ftape = fuse_layer(c.tape)
-    assert _rotatable_const_diag(plane_program(ftape), ftape) is not None
+    prog = plane_program(ftape)
+    assert [it[0] for it in prog] == ["ddual"] and prog[0][4] is False, prog
 
     L = 3
     stacked = tuple(
@@ -1007,6 +1008,66 @@ def test_rotated_scan_parity(plane_mode):
                                    rtol=2e-4, atol=2e-5)
 
     # L=1 degenerates to the unrotated path
+    one = tuple(g[:1] for g in stacked)
+    v1r = loss_with(_scanned_layers_xla)(one, init)
+    v1p = loss_with(plane_scanned_layers)(one, init)
+    np.testing.assert_allclose(float(v1p), float(v1r), rtol=2e-5)
+
+
+def test_rotation_behind_barrier(plane_mode):
+    """The scan rotation still fires where no fold can reach the trailing
+    const diag run: a dense CROSS gate sits between the minor dual and the
+    run (the 29q/30q hpair-shaped case at CPU-testable scale); value +
+    cotangents match the XLA engine and L=1 degenerates."""
+    from dqc_tpu.circuit.plane_scan import (_rotatable_const_diag,
+                                            plane_program)
+
+    n = 14
+    c = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        c.add_q1_var_gate(i)
+    c.add_q2_var_gate(3, 9)  # cross-group dense: blocks ddual/dhigh folds
+    consts = []
+    cz = np.array([1, 1, 1, -1], dtype=np.complex64)
+    for i in range(n - 1):
+        c.add_q2_const_gate_diag(i, i + 1)
+        consts.append(cz)
+    ftape = fuse_layer(c.tape)
+    prog = plane_program(ftape)
+    assert prog[-1][0] == "diag", prog
+    assert _rotatable_const_diag(prog, ftape) is not None
+
+    L = 3
+    stacked = tuple(
+        jnp.asarray(np.stack([rand_su2(np.random.default_rng(31 * l + q))
+                              for l in range(L)]))
+        for q in range(n)) + (
+        jnp.asarray(np.stack([
+            np.asarray(np.linalg.qr(np.random.default_rng(77 + l)
+                                    .standard_normal((4, 4))
+                                    + 1j * np.random.default_rng(78 + l)
+                                    .standard_normal((4, 4)))[0],
+                       dtype=np.complex64)
+            for l in range(L)])),
+    )
+    init = rand_state(n, seed=5)
+
+    def loss_with(layers_fn):
+        def loss(stacked_gates, init_state):
+            state = layers_fn(ftape, init_state, stacked_gates, tuple(consts))
+            return jnp.sum(jnp.abs(state[:64]) ** 2).real
+        return loss
+
+    v_ref, g_ref = jax.value_and_grad(
+        loss_with(_scanned_layers_xla), argnums=(0, 1))(stacked, init)
+    v_pl, g_pl = jax.value_and_grad(
+        loss_with(plane_scanned_layers), argnums=(0, 1))(stacked, init)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=3e-5)
+
     one = tuple(g[:1] for g in stacked)
     v1r = loss_with(_scanned_layers_xla)(one, init)
     v1p = loss_with(plane_scanned_layers)(one, init)
@@ -1208,3 +1269,66 @@ def test_distributed_dhigh_segment_parity(plane_mode):
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_ddual_after_fold_parity(plane_mode):
+    """[dense-minor, diag] order folds into one ddual kernel pass (the
+    dual kernel's diag-AFTER side) — at 16q the tiny high group (X=4)
+    makes the minor dual the only fold target; value+grad match the XLA
+    engine."""
+    from dqc_tpu.circuit import plane_scan as ps
+
+    n = 16
+    rng = np.random.default_rng(31)
+    c = AutoGradCircuit(n, dtype=C64)
+    for q in range(14):
+        c.add_q1_var_gate(q)
+    for i in range(13):
+        c.add_q2_var_gate_diag(i, i + 1)
+    c.get_q1_dens_op_with_grad(3)
+    _, run = c.build()
+
+    prog = ps.plane_program(fuse_tape(c.tape))
+    assert prog[0][0] == "ddual" and prog[0][4] is False, prog
+
+    gates = [jnp.asarray(rand_su2(rng)) for _ in range(14)] + [
+        jnp.asarray(np.exp(1j * rng.normal()
+                           * np.array([1, -1, -1, 1])).astype(np.complex64))
+        for _ in range(13)]
+    w = np.arange(1, 5, dtype=np.float64).reshape(2, 2)
+
+    def loss(gs, engine):
+        config.set_plane_engine(engine)
+        return jnp.sum(jnp.real(run(gs, ())[0]) * w)
+
+    v0, g0 = jax.value_and_grad(lambda g: loss(g, False))(tuple(gates))
+    v1, g1 = jax.value_and_grad(lambda g: loss(g, True))(tuple(gates))
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_locality_reorder_plan_shape():
+    """reorder_for_locality collapses the rotations-then-entanglers layer
+    to TWO layouts: the plan has exactly one swap + its restore and the
+    segments fold to [dense, dhigh] / [ddual] (3 fwd passes total)."""
+    from dqc_tpu.parallel.fused_executor import FSeg
+    from dqc_tpu.parallel.layout import DCycle, DSwap
+    from dqc_tpu.parallel.scan import plan_layer_roundtrip
+    from dqc_tpu.circuit import plane_scan as ps
+
+    n, k = 20, 3
+    layer = AutoGradCircuit(n, dtype=C64)
+    for i in range(n):
+        layer.add_q1_var_gate(i)
+    for i in range(n - 1):
+        layer.add_q2_const_gate_diag(i, i + 1)
+    dprog = plan_layer_roundtrip(layer.tape, k)
+    assert dprog.var_perm is not None
+    swaps = [di for di in dprog.instructions
+             if isinstance(di, (DSwap, DCycle))]
+    segs = [[it[0] for it in ps.plane_program(di.ftape)]
+            for di in dprog.instructions if isinstance(di, FSeg)]
+    assert len(swaps) == 2, dprog.instructions
+    assert sum(len(s) for s in segs) == 3, segs
