@@ -1014,6 +1014,7 @@ def test_rotated_scan_parity(plane_mode):
     np.testing.assert_allclose(float(v1p), float(v1r), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_rotation_behind_barrier(plane_mode):
     """The scan rotation still fires where no fold can reach the trailing
     const diag run: a dense CROSS gate sits between the minor dual and the
@@ -1074,7 +1075,10 @@ def test_rotation_behind_barrier(plane_mode):
     np.testing.assert_allclose(float(v1p), float(v1r), rtol=2e-5)
 
 
-@pytest.mark.parametrize("order", ["diag_then_dense", "dense_then_diag"])
+@pytest.mark.parametrize("order", [
+    pytest.param("diag_then_dense", marks=pytest.mark.slow),
+    "dense_then_diag",  # the distributed layer-segment shape stays default
+])
 def test_dhigh_fold_parity(order, plane_mode):
     """The dhigh fold (diag run fused into a high-group dense sweep, either
     tape order) fires for high-rotations + entangler-ring layers with no
