@@ -417,3 +417,66 @@ def test_swap_fuse_peephole_parity(mesh8, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1])
+def test_locality_reorder_random_parity(mesh8, monkeypatch, seed):
+    """Random gate-only layer tapes: locality-reordered plans give the SAME
+    values and every gradient (in caller order) as unreordered plans on the
+    virtual mesh — fuzzes the var/const queue-permutation plumbing beyond
+    the hardware-efficient shape."""
+    from jax.sharding import PartitionSpec
+    from dqc_tpu.parallel import dist as pdist
+    from dqc_tpu.parallel.scan import dist_scanned_layers, plan_layer_roundtrip
+
+    rng = np.random.default_rng(600 + seed)
+    n, k, L = 17, 3, 1
+    axis = mesh8.axis_names[0]
+    spec = PartitionSpec()
+
+    layer = AutoGradCircuit(n, dtype=jnp.complex64)
+    var_slots, const_slots = [], []
+    for _ in range(int(rng.integers(14, 26))):
+        kind = int(rng.integers(0, 3))
+        var = bool(rng.integers(0, 2))
+        if kind == 0:
+            pos = int(rng.integers(0, n))
+            layer.add_gate((pos,), var=var, unitary=True)
+            g = oracles.random_unitary(rng, 1).astype(np.complex64)
+        elif kind == 1:
+            p = rng.choice(n, size=2, replace=False)
+            layer.add_gate((int(p[0]), int(p[1])), var=var, unitary=True)
+            g = oracles.random_unitary(rng, 2).astype(np.complex64)
+        else:
+            p = rng.choice(n, size=2, replace=False)
+            layer.add_diag_gate((int(p[0]), int(p[1])), var=var)
+            g = np.exp(1j * rng.normal(size=4)).astype(np.complex64)
+        (var_slots if var else const_slots).append(g)
+
+    stacked = tuple(jnp.asarray(np.stack([g] * L)) for g in var_slots)
+    consts = tuple(jnp.asarray(g) for g in const_slots)
+
+    def value_grad(prog):
+        def shard_fn(sg):
+            local = pdist.local_standard_state(n, k, axis, jnp.complex64)
+            local = dist_scanned_layers(prog, axis, local, sg, consts)
+            return jax.lax.psum(jnp.sum(jnp.abs(local[:64]) ** 2), axis)
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh8,
+            in_specs=(jax.tree_util.tree_map(lambda _: spec, stacked),),
+            out_specs=spec, check_vma=False)
+        return jax.value_and_grad(lambda sg: fn(sg).real)(stacked)
+
+    monkeypatch.setenv("DQC_DIST_REORDER", "0")
+    prog_off = plan_layer_roundtrip(layer.tape, k)
+    monkeypatch.setenv("DQC_DIST_REORDER", "1")
+    prog_on = plan_layer_roundtrip(layer.tape, k)
+
+    v1, g1 = value_grad(prog_on)
+    v0, g0 = value_grad(prog_off)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
