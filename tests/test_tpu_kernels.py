@@ -495,3 +495,110 @@ def test_dual_multi_16_terms_on_hardware():
     want = np.moveaxis(out, range(4), axes).reshape(-1)
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 1e-5, err
+
+
+@skip_no_tpu
+def test_dhigh_kernels_on_hardware():
+    """Fused diag+high forward (both orders) and the one-pass adjoint with
+    Q reductions, compiled on the chip vs numpy (n=17: X=8, pre=post=1)."""
+    from dqc_tpu.ops import planes as pln
+    from dqc_tpu.ops.pallas.block_backward import block_backward_high
+    from dqc_tpu.ops.pallas.high_apply import high_group_apply_planes
+
+    rng = np.random.default_rng(81)
+    A1, X, post = 1, 8, 1
+    M = post * 128
+    shp = (A1, X, M, 128)
+    x = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    m = rng.standard_normal((X, X)) + 1j * rng.standard_normal((X, X))
+    E, _ = np.linalg.qr(m)
+    E = E.astype(np.complex64)
+    tsl = np.exp(1j * rng.standard_normal((128, 128))).astype(np.complex64)
+    tas = np.exp(1j * rng.standard_normal((X, 128))).astype(np.complex64)
+    tal = np.exp(1j * rng.standard_normal((X, 128))).astype(np.complex64)
+    v = (A1, X, post, 128)
+    view = (jnp.asarray(tsl.real), jnp.asarray(tsl.imag),
+            jnp.asarray(tas.real.reshape(v)), jnp.asarray(tas.imag.reshape(v)),
+            jnp.asarray(tal.real.reshape(v)), jnp.asarray(tal.imag.reshape(v)))
+    view_inv = tuple(
+        jnp.asarray(c) for t in (tsl, tas, tal)
+        for c in ((1.0 / t).real.astype(np.float32).reshape(
+                      (128, 128) if t is tsl else v),
+                  (1.0 / t).imag.astype(np.float32).reshape(
+                      (128, 128) if t is tsl else v)))
+    D = (tas[:, :, None] * tal[:, None, :]
+         * tsl[None, :, :]).reshape(A1, X, post, 128, 128)
+    x5 = x.reshape(A1, X, post, 128, 128).astype(np.complex128)
+    Ec = E.astype(np.complex128)
+
+    for diag_first in (True, False):
+        yr, yi = high_group_apply_planes(
+            jnp.asarray(x.real), jnp.asarray(x.imag),
+            jnp.asarray(E.real), jnp.asarray(E.imag),
+            diag=view, diag_first=diag_first)
+        got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        if diag_first:
+            want = np.einsum("xy,iypsl->ixpsl", Ec, D * x5)
+        else:
+            want = D * np.einsum("xy,iypsl->ixpsl", Ec, x5)
+        err = np.abs(got - want.reshape(shp)).max() / np.abs(want).max()
+        assert err < 1e-5, (diag_first, err)
+
+    b = (rng.standard_normal(shp) + 1j * rng.standard_normal(shp)).astype(
+        np.complex64)
+    out = block_backward_high(
+        jnp.asarray(x.real), jnp.asarray(x.imag),
+        jnp.asarray(b.real), jnp.asarray(b.imag),
+        jnp.asarray(np.conj(E.T).real), jnp.asarray(np.conj(E.T).imag),
+        jnp.asarray(E.real), jnp.asarray(E.imag),
+        diag_inv_tables=view_inv, diag_tables=view,
+        diag_first_fwd=True, diag_q=True)
+    b5 = b.reshape(A1, X, post, 128, 128).astype(np.complex128)
+    fir = np.einsum("xy,iypsl->ixpsl", np.conj(Ec.T), x5)
+    bn = np.einsum("xy,iypsl->ixpsl", Ec.T, b5)
+    T0 = np.einsum("ixpsl,iypsl->xy", b5, fir)
+    Q = (bn * fir).reshape(-1, 128, 128)
+    got_t0 = np.asarray(out[4], np.float64) + 1j * np.asarray(out[5],
+                                                              np.float64)
+    assert np.abs(got_t0 - T0).max() / np.abs(T0).max() < 2e-4
+    qsl = np.asarray(out[6], np.float64) + 1j * np.asarray(out[7], np.float64)
+    assert np.abs(qsl - Q.sum(axis=0)).max() / np.abs(Q.sum(0)).max() < 2e-4
+    got_f = (np.asarray(out[0], np.float64)
+             + 1j * np.asarray(out[1], np.float64))
+    want_f = (fir / D).reshape(shp)
+    assert np.abs(got_f - want_f).max() / np.abs(want_f).max() < 2e-4
+
+
+@skip_no_tpu
+def test_ddual_after_kernel_on_hardware():
+    """Dual sweep with the diag run fused AFTER the dense ops (ddual-after
+    order), compiled on the chip vs numpy."""
+    from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
+
+    rng = np.random.default_rng(83)
+    A = 4
+    xr, xi = rand_planes(rng, A)
+    el = rand_op(rng)
+    em = rand_op(rng)
+    tsl = np.exp(1j * rng.standard_normal((128, 128))).astype(np.complex64)
+    tas = np.exp(1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    tal = np.exp(1j * rng.standard_normal((A, 128))).astype(np.complex64)
+    tables = (jnp.asarray(tsl.real), jnp.asarray(tsl.imag),
+              jnp.asarray(tas.real), jnp.asarray(tas.imag),
+              jnp.asarray(tal.real), jnp.asarray(tal.imag))
+
+    yr, yi = dual_group_apply_planes(
+        xr, xi, jnp.asarray(el.real), jnp.asarray(el.imag),
+        jnp.asarray(em.real), jnp.asarray(em.imag),
+        diag_tables=tables, diag_first=False)
+    got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+
+    x = (np.asarray(xr, np.float64)
+         + 1j * np.asarray(xi, np.float64)).astype(np.complex128)
+    z = np.einsum("sk,akl,ml->asm", em.astype(np.complex128), x,
+                  el.astype(np.complex128))
+    D = (tas[:, :, None] * tal[:, None, :] * tsl[None, :, :]).astype(
+        np.complex128)
+    want = D * z
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
