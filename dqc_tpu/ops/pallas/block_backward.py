@@ -520,9 +520,8 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
     t0r_acc = jnp.zeros(t0r_ref.shape, F32)
     t0i_acc = jnp.zeros(t0i_ref.shape, F32)
     if has_diag:
-        from dqc_tpu.ops.pallas.high_apply import _dh_tile
-        dinv_r, dinv_i = _dh_tile(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
-        dfw_r, dfw_i = _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
+        dinv_r, dinv_i = cm.dh_tile(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
+        dfw_r, dfw_i = cm.dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
     if diag_q:
         qal_acc_r = jnp.zeros((x_dim, 128), F32)
         qal_acc_i = jnp.zeros((x_dim, 128), F32)

@@ -39,6 +39,25 @@ def fixed2(*_):
     return (_Z, _Z)
 
 
+def cmul(xr, xi, yr, yi):
+    """Complex multiply on real-pair operands (shared kernel helper)."""
+    return xr * yr - xi * yi, xr * yi + xi * yr
+
+
+def dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
+    """Composed diagonal multiplier for one high-view block: blocks arrive
+    as tsl (m_blk, 128) [s, l], tas (1, X, 1, m_blk) [x, s], tal
+    (1, X, 1, 128) [x, l] — the (pre, X, post, 128) views of the run's
+    (A, 128) a-axis tables (a = (i*X + x)*post + p; within a block i and
+    p are fixed by the grid cell's BlockSpec index). Returns the complex
+    (X, m_blk, 128) tile as a real pair."""
+    ar, ai = tas_r[0, :, 0, :], tas_i[0, :, 0, :]
+    lr, li = tal_r[0, :, 0, :], tal_i[0, :, 0, :]
+    mr, mi = cmul(ar[:, :, None], ai[:, :, None],
+                  lr[:, None, :], li[:, None, :])
+    return cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
+
+
 def dh_table_specs(X, M, m_blk):
     """BlockSpecs of a fused diagonal run's 6 view-tables for a high-group
     sweep on the ``(A1, X, M, 128)`` view with grid ``(A1, M // m_blk)``:

@@ -29,22 +29,8 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _cmul(xr, xi, yr, yi):
-    return xr * yr - xi * yi, xr * yi + xi * yr
-
-
-def _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
-    """Composed diagonal multiplier for one high-view block: blocks arrive
-    as tsl (m_blk, 128) [s, l], tas (1, X, 1, m_blk) [x, s], tal
-    (1, X, 1, 128) [x, l] — the (pre, X, post, 128) views of the run's
-    (A, 128) a-axis tables (a = (i*X + x)*post + p; within a block i and
-    p are fixed by the grid cell's BlockSpec index). Returns the complex
-    (X, m_blk, 128) tile."""
-    ar, ai = tas_r[0, :, 0, :], tas_i[0, :, 0, :]
-    lr, li = tal_r[0, :, 0, :], tal_i[0, :, 0, :]
-    mr, mi = _cmul(ar[:, :, None], ai[:, :, None],
-                   lr[:, None, :], li[:, None, :])
-    return _cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
+_cmul = cm.cmul
+_dh_tile = cm.dh_tile
 
 
 def _kernel(x_dim, dot_mode, conj, has_acc, has_diag, diag_first,

@@ -176,6 +176,11 @@ def dist_fused_run(
     stop_after: Optional[int] = None,
 ):
     m = dprog.m
+    # perm-carrying programs (locality reorder) consume gates in program
+    # order; callers always pass tape order — map here so EVERY entry
+    # point is safe by construction
+    var_gates = apply_gate_perm(var_gates, dprog.var_perm)
+    const_gates = apply_gate_perm(const_gates, dprog.const_perm)
     state = jnp.asarray(local_state)
     densities: List[jax.Array] = []
     gram_cache: dict = {}
@@ -225,6 +230,10 @@ def _fwd(dprog, axis, local_state, var_gates, const_gates):
 def _bwd(dprog, axis, residuals, density_cts):
     state, local_state, var_gates, const_gates = residuals
     m = dprog.m
+    # program-order gates for the segment walks; the assembled var_cts are
+    # mapped back to caller order below
+    var_gates = apply_gate_perm(var_gates, dprog.var_perm)
+    const_gates = apply_gate_perm(const_gates, dprog.const_perm)
     sizes = gr.group_sizes_low_first(m)
     last = dprog.last_diff_density_index()
 
@@ -314,7 +323,10 @@ def _bwd(dprog, axis, residuals, density_cts):
             out_var_cts.append(summed.astype(ref_arr.dtype))
         else:
             out_var_cts.append(summed.real.astype(ref_arr.dtype))
-    const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
+    out_var_cts = invert_ct_perm(out_var_cts, dprog.var_perm)
+    const_cts = invert_ct_perm(
+        tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates),
+        dprog.const_perm)
     return state_ct, tuple(out_var_cts), const_cts
 
 

@@ -43,7 +43,7 @@ class DCycle:
     globals <- out, out <- in, in <- globals. Equals applying
     DSwap(in_positions) then DSwap(out_positions); the inverse cycle swaps
     the two tuples. Emitted by the fused-program swap peephole
-    (parallel/scan.fuse_adjacent_swaps)."""
+    (parallel/fused_executor.fuse_adjacent_swaps)."""
     out_positions: Tuple[int, ...]  # k local slots -> device axis, msb-first
     in_positions: Tuple[int, ...]   # k local slots <- device axis, msb-first
 
@@ -80,6 +80,34 @@ class DistProgram:
 
 
 _NO_USE = 1 << 30
+
+
+def _belady_swap(phys: List[int], needs, nxt_row, m: int, k: int):
+    """One swap-planning step shared by the planner and the locality
+    reorder's layout simulation: pick the k local slots whose logical
+    qubits are needed furthest in the future (Belady), mutate ``phys`` to
+    the post-swap layout and return the msb-first slot tuple. Raises
+    ValueError when ``needs`` protects too many slots."""
+    protected = {phys[q] for q in needs if phys[q] < m}
+    if m - len(protected) < k:
+        raise ValueError(
+            f"instruction on {needs} touches too many qubits to localize "
+            f"a {1 << k}-device block"
+        )
+    logical_at = {p: q for q, p in enumerate(phys) if p < m}
+    candidates = [p for p in range(m) if p not in protected]
+    candidates.sort(key=lambda p: int(nxt_row[logical_at[p]]), reverse=True)
+    slots = sorted(candidates[:k], reverse=True)  # msb-first, deterministic
+    for j in range(k):
+        l = slots[k - 1 - j]
+        g = m + j
+        ql, qg = logical_at[l], None
+        for q, p in enumerate(phys):
+            if p == g:
+                qg = q
+                break
+        phys[ql], phys[qg] = g, l
+    return tuple(slots)
 
 
 def _next_use_table(tape: Tape):
@@ -170,31 +198,30 @@ def reorder_for_locality(tape: Tape, k: int):
                     done[i] = True
                     order.append(i)
                     progressed = True
-        # plan i0's swap exactly like the planner will (Belady on the
-        # remaining stream) so the simulated layout tracks the real one
-        needs = insts[i0].positions
-        protected = {phys[q] for q in needs if phys[q] < m}
-        if m - len(protected) < k:
+        # plan i0's swap with the same Belady step the planner uses
+        # (_belady_swap) so the simulated layout tracks the real one; the
+        # original-order next-use row is an approximation of the reordered
+        # stream's — the plan-count guard below catches any divergence
+        try:
+            _belady_swap(phys, insts[i0].positions, nxt[i0], m, k)
+        except ValueError:
             return tape, None, None  # planner will raise; don't reorder
-        logical_at = {p: q for q, p in enumerate(phys) if p < m}
-        candidates = [p for p in range(m) if p not in protected]
-        candidates.sort(key=lambda p: int(nxt[i0, logical_at[p]]),
-                        reverse=True)
-        slots = sorted(candidates[:k], reverse=True)
-        for j in range(k):
-            l = slots[k - 1 - j]
-            g = m + j
-            ql, qg = logical_at[l], None
-            for q, p in enumerate(phys):
-                if p == g:
-                    qg = q
-                    break
-            phys[ql], phys[qg] = g, l
         done[i0] = True
         order.append(i0)
         i0 += 1
 
     if order == list(range(T)):
+        return tape, None, None
+
+    tape2 = Tape(n, tuple(insts[t] for t in order))
+    # guard: keep the reorder only if it actually reduces the swap count
+    # of the REAL plan (the simulation's next-use approximation could
+    # otherwise regress the layout count silently)
+    n_swaps = sum(isinstance(di, DSwap)
+                  for di in plan_distribution(tape, k).instructions)
+    n_swaps2 = sum(isinstance(di, DSwap)
+                   for di in plan_distribution(tape2, k).instructions)
+    if n_swaps2 >= n_swaps:
         return tape, None, None
     var_of: List[int] = []
     const_of: List[int] = []
@@ -215,7 +242,6 @@ def reorder_for_locality(tape: Tape, k: int):
             continue
         is_var, qi = idx_of[t]
         (var_perm if is_var else const_perm).append(qi)
-    tape2 = Tape(n, tuple(insts[t] for t in order))
     return tape2, tuple(var_perm), tuple(const_perm)
 
 
@@ -256,28 +282,9 @@ def _plan_distribution_py(tape: Tape, k: int) -> DistProgram:
     for idx, inst in enumerate(tape.instructions):
         needs = inst.positions
         if any(phys[q] >= m for q in needs) and k > 0:
-            protected = {phys[q] for q in needs if phys[q] < m}
-            if m - len(protected) < k:
-                raise ValueError(
-                    f"instruction {inst} touches too many qubits to localize "
-                    f"a {1 << k}-device block"
-                )
             # Belady: evict local slots whose logical qubits are needed last
-            logical_at = {p: q for q, p in enumerate(phys) if p < m}
-            candidates = [p for p in range(m) if p not in protected]
-            candidates.sort(key=lambda p: int(nxt[idx, logical_at[p]]), reverse=True)
-            slots = sorted(candidates[:k], reverse=True)  # msb-first, deterministic
-            prog.append(DSwap(tuple(slots)))
-            # slot msb-first: local_positions[k-1-j] <-> device bit j (slot m+j)
-            for j in range(k):
-                l = slots[k - 1 - j]
-                g = m + j
-                ql, qg = logical_at[l], None
-                for q, p in enumerate(phys):
-                    if p == g:
-                        qg = q
-                        break
-                phys[ql], phys[qg] = g, l
+            # (slot msb-first: local_positions[k-1-j] <-> device bit j)
+            prog.append(DSwap(_belady_swap(phys, needs, nxt[idx], m, k)))
         positions = tuple(phys[q] for q in needs)
         if inst.kind is InstrKind.DENSITY:
             prog.append(DDensity(positions, inst.diff, dens_idx))

@@ -72,6 +72,11 @@ def _cycle_planes(xr, xi, di: DCycle, axis, *, inverse: bool = False):
 
 
 def _forward_layer(dprog: DFusedProgram, axis: str, xr, xi, var_gates, const_gates):
+    from dqc_tpu.parallel.fused_executor import apply_gate_perm
+
+    # perm-carrying programs (locality reorder): callers pass tape order
+    var_gates = apply_gate_perm(var_gates, dprog.var_perm)
+    const_gates = apply_gate_perm(const_gates, dprog.const_perm)
     for di in dprog.instructions:
         if isinstance(di, DSwap):
             xr, xi = _swap_planes(xr, xi, di.local_positions, axis)
@@ -88,6 +93,10 @@ def _forward_layer(dprog: DFusedProgram, axis: str, xr, xi, var_gates, const_gat
 
 def _backward_layer(dprog: DFusedProgram, axis: str, fxr, fxi, bxr, bxi,
                     var_gates, const_gates):
+    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
+
+    var_gates = apply_gate_perm(var_gates, dprog.var_perm)
+    const_gates = apply_gate_perm(const_gates, dprog.const_perm)
     var_cts: Dict[int, jax.Array] = {}
     for di in reversed(dprog.instructions):
         if isinstance(di, DSwap):
@@ -106,7 +115,9 @@ def _backward_layer(dprog: DFusedProgram, axis: str, fxr, fxi, bxr, bxi,
             fxr, fxi, bxr, bxi, program, di.ftape, vg, cg, seg_cts)
         for local_q, ct in seg_cts.items():
             var_cts[di.var_base + local_q] = ct
-    cts = tuple(var_cts[q] for q in range(dprog.num_var_gates))
+    cts = invert_ct_perm(
+        tuple(var_cts[q] for q in range(dprog.num_var_gates)),
+        dprog.var_perm)
     return fxr, fxi, bxr, bxi, cts
 
 
@@ -118,20 +129,17 @@ def dist_plane_scanned_layers(dprog: DFusedProgram, axis: str, local_state,
     shard; gates arrive in caller/tape order — a locality-reordered
     program's permutation is applied internally; returns the final local
     shard, flat complex)."""
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm
-
     m = dprog.m
-    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
-    cg = apply_gate_perm(const_gates, dprog.const_perm)
 
     def body(carry, layer_gates):
         xr, xi = carry
-        xr, xi = _forward_layer(dprog, axis, xr, xi, layer_gates, cg)
+        xr, xi = _forward_layer(dprog, axis, xr, xi, layer_gates,
+                                const_gates)
         return (xr, xi), None
 
     xr, xi = pl.to_planes(jnp.asarray(local_state).astype(C64), m,
                           config.fwd_plane_dtype())
-    (xr, xi), _ = jax.lax.scan(body, (xr, xi), svg)
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates)
     return pl.from_planes(xr, xi, m)
 
 
@@ -142,17 +150,13 @@ def _fwd(dprog, axis, local_state, stacked_var_gates, const_gates):
 
 
 def _bwd(dprog, axis, residuals, ct):
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
-
     final, local_state, stacked_var_gates, const_gates = residuals
     m = dprog.m
-    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
-    cg = apply_gate_perm(const_gates, dprog.const_perm)
 
     def body(carry, layer_gates):
         fxr, fxi, bxr, bxi = carry
         fxr, fxi, bxr, bxi, cts = _backward_layer(
-            dprog, axis, fxr, fxi, bxr, bxi, layer_gates, cg)
+            dprog, axis, fxr, fxi, bxr, bxi, layer_gates, const_gates)
         cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
         return (fxr, fxi, bxr, bxi), cts
 
@@ -160,13 +164,12 @@ def _bwd(dprog, axis, residuals, ct):
     bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), m,
                             config.bwd_plane_dtype())
     (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
-        body, (fxr, fxi, bxr, bxi), svg, reverse=True,
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates, reverse=True,
     )
     # per-layer cts are per-shard partials; one psum over the stacked result
     stacked_cts = jax.tree_util.tree_map(
         lambda x: jax.lax.psum(x, axis), stacked_cts
     )
-    stacked_cts = invert_ct_perm(stacked_cts, dprog.var_perm)
     init_ref = jnp.asarray(local_state)
     state_ct = pl.from_planes(bxr, bxi, m).astype(init_ref.dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
@@ -303,21 +306,18 @@ def dist_plane_std_scan_densities(pro_prog, layer_prog: DFusedProgram,
 
 def _dist_std_impl(pro_prog, layer_prog, epi_prog, axis, pro_const_gates,
                    stacked_var_gates, const_gates):
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm
-
     m = layer_prog.m
-    svg = apply_gate_perm(stacked_var_gates, layer_prog.var_perm)
-    cg = apply_gate_perm(const_gates, layer_prog.const_perm)
     xr, xi = local_standard_planes(m, axis)
     if pro_prog is not None:
         xr, xi = _forward_layer(pro_prog, axis, xr, xi, (), pro_const_gates)
 
     def body(carry, layer_gates):
         cr, ci = carry
-        cr, ci = _forward_layer(layer_prog, axis, cr, ci, layer_gates, cg)
+        cr, ci = _forward_layer(layer_prog, axis, cr, ci, layer_gates,
+                                const_gates)
         return (cr, ci), None
 
-    (xr, xi), _ = jax.lax.scan(body, (xr, xi), svg)
+    (xr, xi), _ = jax.lax.scan(body, (xr, xi), stacked_var_gates)
     return _epilogue_forward(epi_prog, axis, xr, xi, (), ())
 
 
@@ -379,25 +379,20 @@ def _std_bwd(pro_prog, layer_prog, epi_prog, axis, residuals, density_cts):
             lambda g: jnp.zeros_like(jnp.asarray(g)), stacked_var_gates)
         return pro_cts, stacked_cts, const_cts
 
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
-
-    svg = apply_gate_perm(stacked_var_gates, layer_prog.var_perm)
-    cg = apply_gate_perm(const_gates, layer_prog.const_perm)
-
     def body(carry, layer_gates):
         cfxr, cfxi, cbxr, cbxi = carry
         cfxr, cfxi, cbxr, cbxi, cts = _backward_layer(
-            layer_prog, axis, cfxr, cfxi, cbxr, cbxi, layer_gates, cg)
+            layer_prog, axis, cfxr, cfxi, cbxr, cbxi, layer_gates,
+            const_gates)
         cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
         return (cfxr, cfxi, cbxr, cbxi), cts
 
     # the reverse scan stops at the const-only prologue (no state cotangent
     # is returned, exactly as the single-chip std op)
     (_, _, _, _), stacked_cts = jax.lax.scan(
-        body, (fxr, fxi, bxr, bxi), svg, reverse=True)
+        body, (fxr, fxi, bxr, bxi), stacked_var_gates, reverse=True)
     stacked_cts = jax.tree_util.tree_map(
         lambda x: jax.lax.psum(x, axis), stacked_cts)
-    stacked_cts = invert_ct_perm(stacked_cts, layer_prog.var_perm)
     return pro_cts, stacked_cts, const_cts
 
 

@@ -80,7 +80,11 @@ def plan_layer_roundtrip(layer_tape: Tape, k: int) -> DFusedProgram:
 def _layer_backward(dprog: DFusedProgram, axis: str, fwd_flat, bwd_flat,
                     var_gates, const_gates):
     """Roll (fwd, bwd) back through one layer; per-gate cts in queue order."""
+    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
+
     m = dprog.m
+    var_gates = apply_gate_perm(var_gates, dprog.var_perm)
+    const_gates = apply_gate_perm(const_gates, dprog.const_perm)
     sizes = gr.group_sizes_low_first(m)
     fwd = gr.to_grouped(fwd_flat, m)
     bwd = gr.to_grouped(bwd_flat, m)
@@ -110,7 +114,9 @@ def _layer_backward(dprog: DFusedProgram, axis: str, fwd_flat, bwd_flat,
             fwd, bwd = _backward_gate_step(fi, fwd, bwd, vg, cg, sizes, m, seg_cts)
         for local_q, ct in seg_cts.items():
             var_cts[di.var_base + local_q] = ct
-    cts = tuple(var_cts[q] for q in range(dprog.num_var_gates))
+    cts = invert_ct_perm(
+        tuple(var_cts[q] for q in range(dprog.num_var_gates)),
+        dprog.var_perm)
     return gr.from_grouped(fwd), gr.from_grouped(bwd), cts
 
 
@@ -121,16 +127,13 @@ def dist_scanned_layers(dprog: DFusedProgram, axis: str, local_state,
     ``stacked_var_gates`` carry a leading layer axis (caller/tape order —
     a locality-reordered program's permutation is applied internally).
     Returns the final local shard."""
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm
-
-    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
-    cg = apply_gate_perm(const_gates, dprog.const_perm)
-
     def body(state, layer_gates):
-        _, state = dist_fused_run(dprog, axis, state, layer_gates, cg)
+        _, state = dist_fused_run(dprog, axis, state, layer_gates,
+                                  const_gates)
         return state, None
 
-    final, _ = jax.lax.scan(body, jnp.asarray(local_state), svg)
+    final, _ = jax.lax.scan(body, jnp.asarray(local_state),
+                            stacked_var_gates)
     return final
 
 
@@ -140,16 +143,12 @@ def _fwd(dprog, axis, local_state, stacked_var_gates, const_gates):
 
 
 def _bwd(dprog, axis, residuals, ct):
-    from dqc_tpu.parallel.fused_executor import apply_gate_perm, invert_ct_perm
-
     final, local_state, stacked_var_gates, const_gates = residuals
-    svg = apply_gate_perm(stacked_var_gates, dprog.var_perm)
-    cg = apply_gate_perm(const_gates, dprog.const_perm)
 
     def body(carry, layer_gates):
         fwd_flat, bwd_flat = carry
         fwd_flat, bwd_flat, cts = _layer_backward(
-            dprog, axis, fwd_flat, bwd_flat, layer_gates, cg
+            dprog, axis, fwd_flat, bwd_flat, layer_gates, const_gates
         )
         cts = tuple(_match(c, ref) for c, ref in zip(cts, layer_gates))
         return (fwd_flat, bwd_flat), cts
@@ -157,13 +156,12 @@ def _bwd(dprog, axis, residuals, ct):
     final = jnp.asarray(final)
     (fwd0, bwd0), stacked_cts = jax.lax.scan(
         body, (final, jnp.asarray(ct).astype(final.dtype)),
-        svg, reverse=True,
+        stacked_var_gates, reverse=True,
     )
     # per-layer cts are per-shard partials; one psum over the stacked result
     stacked_cts = jax.tree_util.tree_map(
         lambda x: jax.lax.psum(x, axis), stacked_cts
     )
-    stacked_cts = invert_ct_perm(stacked_cts, dprog.var_perm)
     init_ref = jnp.asarray(local_state)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return bwd0.astype(init_ref.dtype), stacked_cts, const_cts
