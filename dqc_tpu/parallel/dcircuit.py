@@ -63,8 +63,21 @@ class DistributedCircuit:
         self.program = plan_distribution(self.tape, self.k)
         self.fused = bool(fused)
         if self.fused:
+            import dataclasses
+
             from dqc_tpu.parallel.fused_executor import fuse_distributed
-            self.dprog = fuse_distributed(self.program)
+            from dqc_tpu.parallel.layout import reorder_for_locality
+
+            # locality reorder (commutation-legal, densities are barriers):
+            # fewer layouts -> fewer collectives; the executors map the
+            # caller-order gate queues through the carried permutations.
+            # The unfused per-gate path keeps the original-tape program.
+            tape2, vp, cp = reorder_for_locality(self.tape, self.k)
+            dprog = fuse_distributed(plan_distribution(tape2, self.k))
+            if vp is not None or cp is not None:
+                dprog = dataclasses.replace(dprog, var_perm=vp,
+                                            const_perm=cp)
+            self.dprog = dprog
 
     # -- initial state -------------------------------------------------------
 

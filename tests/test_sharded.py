@@ -480,3 +480,51 @@ def test_locality_reorder_random_parity(mesh8, monkeypatch, seed):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_dcircuit_fused_reorder_parity(mesh8):
+    """The eager DistributedCircuit's fused path plans on the
+    locality-reordered tape (fewer collectives); values and every gradient
+    must match the unfused per-gate path, which keeps the original tape."""
+    from dqc_tpu.parallel.layout import DCycle, DSwap
+
+    n = 17
+    rng = np.random.default_rng(41)
+    c = AutoGradCircuit(n, dtype=jnp.complex64)
+    var_gates, const_gates = [], []
+    for q in range(n):
+        c.add_q1_var_gate(q)
+        var_gates.append(jnp.asarray(
+            oracles.random_unitary(rng, 1).astype(np.complex64)))
+    for i in range(n - 1):
+        c.add_q2_const_gate_diag(i, i + 1)
+        const_gates.append(jnp.asarray(
+            np.exp(1j * rng.normal()
+                   * np.array([1, -1, -1, 1])).astype(np.complex64)))
+    c.get_q1_dens_op_with_grad(0)
+    c.get_q1_dens_op_with_grad(n - 1)
+
+    fused = DistributedCircuit(c, mesh8, fused=True)
+    plain = DistributedCircuit(c, mesh8, fused=False)
+    assert fused.dprog.var_perm is not None  # the reorder fired
+    n_coll_fused = sum(isinstance(d, (DSwap, DCycle))
+                       for d in fused.dprog.instructions)
+    n_coll_plain = sum(isinstance(d, DSwap)
+                       for d in plain.program.instructions)
+    assert n_coll_fused < n_coll_plain, (n_coll_fused, n_coll_plain)
+
+    def loss_of(dc):
+        _, autodiff_run = dc.build()
+
+        def loss(vg):
+            dens = autodiff_run(vg, tuple(const_gates))
+            return sum(jnp.sum(jnp.abs(d) ** 2) for d in dens).real
+        return loss
+
+    v_f, g_f = jax.value_and_grad(loss_of(fused))(tuple(var_gates))
+    v_p, g_p = jax.value_and_grad(loss_of(plain))(tuple(var_gates))
+    np.testing.assert_allclose(float(v_f), float(v_p), rtol=2e-5)
+    for a, b in zip(g_f, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
