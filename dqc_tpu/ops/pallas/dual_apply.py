@@ -17,10 +17,11 @@ this kernel's structural floor on v5e). Mosaic rejects ``Precision.HIGH``
 as a flag; ``dot_mode='bf16x3'`` is the manual opt-in 3-pass split
 (ops/pallas/dots.py).
 
-``diag_tables`` folds a whole preceding diagonal run into this sweep (the
-ddual item, see plane_scan._pair_diag_into_dual). Plane refs may be stored
-in a reduced dtype (config.set_state_storage): compute is always f32 in
-VMEM, loads/stores convert at the ref boundary.
+``diag_tables`` folds a whole adjacent diagonal run into this sweep — in
+EITHER tape order: before the dual gates (``diag_first=True``) or after
+them (the ddual item, see plane_scan._pair_diag_into_dual). Plane refs may
+be stored in a reduced dtype (config.set_state_storage): compute is always
+f32 in VMEM, loads/stores convert at the ref boundary.
 
 Works under ``interpret=True`` on CPU for testing.
 """
