@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -525,6 +526,7 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
     if diag_q:
         qal_acc_r = jnp.zeros((x_dim, 128), F32)
         qal_acc_i = jnp.zeros((x_dim, 128), F32)
+        qas_parts_r, qas_parts_i = [], []
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0,
                                  pl.program_id(1) == 0))
@@ -594,15 +596,20 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
         if diag_q:
             # the run's order-invariant Q reductions on this chunk's tile
             # (qsl: fixed accumulator window, rows by dynamic slice; qas:
-            # each (a, s) written exactly once; qal: accumulated across the
+            # chunk sums concatenated, each cell's (X, m_blk) tile written
+            # exactly once after the loop; qal: accumulated across the
             # cell's chunks then once per consecutive p-window visit)
-            row0 = (pl.program_id(1) % k_sub) * m_blk + c * mc
+            # lax.rem on an np.int32 keeps the index math pure-i32: a
+            # python-int `%` embeds an i64 literal under jax_enable_x64
+            # whose i64->i32 convert recurses forever in Mosaic lowering
+            row0 = (jax.lax.rem(pl.program_id(1), np.int32(k_sub)) * m_blk
+                    + c * mc)
             cur_r = qsl_r_ref[pl.dslice(row0, mc), :]
             cur_i = qsl_i_ref[pl.dslice(row0, mc), :]
             qsl_r_ref[pl.dslice(row0, mc), :] = cur_r + jnp.sum(qr, axis=0)
             qsl_i_ref[pl.dslice(row0, mc), :] = cur_i + jnp.sum(qi, axis=0)
-            qas_r_ref[0, :, 0, sl] = jnp.sum(qr, axis=2)
-            qas_i_ref[0, :, 0, sl] = jnp.sum(qi, axis=2)
+            qas_parts_r.append(jnp.sum(qr, axis=2))
+            qas_parts_i.append(jnp.sum(qi, axis=2))
             qal_acc_r += jnp.sum(qr, axis=1)
             qal_acc_i += jnp.sum(qi, axis=1)
 
@@ -617,13 +624,18 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
     t0i_ref[:] += t0i_acc
 
     if diag_q:
-        @pl.when(pl.program_id(1) % k_sub == 0)
+        qas_r_ref[0, 0, 0] = (qas_parts_r[0] if len(qas_parts_r) == 1
+                              else jnp.concatenate(qas_parts_r, axis=1))
+        qas_i_ref[0, 0, 0] = (qas_parts_i[0] if len(qas_parts_i) == 1
+                              else jnp.concatenate(qas_parts_i, axis=1))
+
+        @pl.when(jax.lax.rem(pl.program_id(1), np.int32(k_sub)) == 0)
         def _():
             qal_r_ref[:] = jnp.zeros_like(qal_r_ref)
             qal_i_ref[:] = jnp.zeros_like(qal_i_ref)
 
-        qal_r_ref[0, :, 0, :] += qal_acc_r
-        qal_i_ref[0, :, 0, :] += qal_acc_i
+        qal_r_ref[0, 0] += qal_acc_r
+        qal_i_ref[0, 0] += qal_acc_i
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode",
@@ -698,14 +710,17 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     if has_diag:
         dh = cm.dh_table_specs(X, M, m_blk)
         in_specs += list(dh) + list(dh)
-        args = args + tuple(diag_inv_tables) + tuple(diag_tables)
+        args = (args + cm.dh_table_views(diag_inv_tables, m_blk)
+                + cm.dh_table_views(diag_tables, m_blk))
     if diag_q:
         post = M // 128
-        qa = jax.ShapeDtypeStruct((A1, X, post, 128), F32)
+        k = 128 // m_blk
+        qa_s = jax.ShapeDtypeStruct((A1, post, k, X, m_blk), F32)
+        qa_l = jax.ShapeDtypeStruct((A1, post, X, 128), F32)
         qsl_spec = pl.BlockSpec((128, 128), es, memory_space=pltpu.VMEM)
         _, _, tas_spec, _, tal_spec, _ = cm.dh_table_specs(X, M, m_blk)
         out_shape += [jax.ShapeDtypeStruct((128, 128), F32)] * 2 \
-                     + [qa, qa, qa, qa]
+                     + [qa_s, qa_s, qa_l, qa_l]
         out_specs += [qsl_spec, qsl_spec, tas_spec, tas_spec,
                       tal_spec, tal_spec]
     return pl.pallas_call(

@@ -46,48 +46,85 @@ def cmul(xr, xi, yr, yi):
 
 def dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     """Composed diagonal multiplier for one high-view block: blocks arrive
-    as tsl (m_blk, 128) [s, l], tas (1, X, 1, m_blk) [x, s], tal
-    (1, X, 1, 128) [x, l] — the (pre, X, post, 128) views of the run's
-    (A, 128) a-axis tables (a = (i*X + x)*post + p; within a block i and
-    p are fixed by the grid cell's BlockSpec index). Returns the complex
+    in the ``dh_table_specs`` kernel layouts — tsl (m_blk, 128) [s, l],
+    tas (1, 1, 1, X, m_blk) [x, s], tal (1, 1, X, 128) [x, l] (the cell's
+    slices of the run's (A, 128) a-axis tables; a = (i*X + x)*post + p with
+    i and p fixed by the grid cell's BlockSpec index). Returns the complex
     (X, m_blk, 128) tile as a real pair."""
-    ar, ai = tas_r[0, :, 0, :], tas_i[0, :, 0, :]
-    lr, li = tal_r[0, :, 0, :], tal_i[0, :, 0, :]
+    ar, ai = tas_r[0, 0, 0], tas_i[0, 0, 0]
+    lr, li = tal_r[0, 0], tal_i[0, 0]
     mr, mi = cmul(ar[:, :, None], ai[:, :, None],
                   lr[:, None, :], li[:, None, :])
     return cmul(mr, mi, tsl_r[:][None, :, :], tsl_i[:][None, :, :])
 
 
+def dh_table_views(tables, m_blk):
+    """Reshape a fused diagonal run's canonical 6 view-tables (tsl r/i
+    (128, 128); tas/tal r/i (pre, X, post, 128), see
+    planes.dhigh_view_tables) to the Mosaic-legal kernel layouts consumed
+    by ``dh_table_specs`` blocks:
+
+    * tas -> (pre, post, k, X, m_blk) with k = 128 // m_blk — the sublane
+      axis is pre-split by kernel block so a cell reads a FULL trailing
+      (X, m_blk) tile (Mosaic forbids partial blocks of a 128 lane dim);
+    * tal -> (pre, post, X, 128) — full lane row per cell.
+
+    Trace-side jnp ops on tiny (A, 128) tables; kernels get aligned tiles."""
+    import jax.numpy as jnp  # lazy: keep module import-light
+
+    tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i = tables
+    pre, X, post, _ = tas_r.shape
+    k = 128 // m_blk
+
+    def as_v(t):
+        return jnp.transpose(t.reshape(pre, X, post, k, m_blk),
+                             (0, 2, 3, 1, 4))
+
+    def al_v(t):
+        return jnp.transpose(t, (0, 2, 1, 3))
+
+    return (tsl_r, tsl_i, as_v(tas_r), as_v(tas_i),
+            al_v(tal_r), al_v(tal_i))
+
+
 def dh_table_specs(X, M, m_blk):
-    """BlockSpecs of a fused diagonal run's 6 view-tables for a high-group
-    sweep on the ``(A1, X, M, 128)`` view with grid ``(A1, M // m_blk)``:
+    """BlockSpecs of a fused diagonal run's 6 view-tables (in the
+    ``dh_table_views`` kernel layouts) for a high-group sweep on the
+    ``(A1, X, M, 128)`` view with grid ``(A1, M // m_blk)``:
 
     * ``tsl`` (128, 128) [sublane, lane]: block (m_blk, 128) at the cell's
-      sublane rows;
-    * ``tas`` / ``tal`` (A1, X, post, 128): the (pre, X, post, 128) views of
-      the run's (A, 128) a-axis tables; tas is sliced on its sublane axis,
-      tal delivers the cell's full lane row.
+      sublane rows (m_blk | 128 and 8 | m_blk keep the block tile-legal);
+    * ``tas`` (A1, post, k, X, m_blk): block (1, 1, 1, X, m_blk) — the
+      cell's full (X, m_blk) a-by-sublane tile;
+    * ``tal`` (A1, post, X, 128): block (1, 1, X, 128) — the cell's full
+      lane row.
 
     A cell (i, c) covers m in [c*m_blk, (c+1)*m_blk) = fixed post index
-    p = c*m_blk // 128 and sublane rows s0 = (c*m_blk) % 128 .. + m_blk
-    (requires m_blk | 128, asserted by the callers)."""
+    p = c*m_blk // 128 and sublane window c % k (requires m_blk | 128,
+    asserted by the callers)."""
+    from jax import lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    k = 128 // m_blk
+    # lax.div/rem on an np.int32 constant: a python-int `c // k` embeds the
+    # literal as i64 under jax_enable_x64, and the resulting i64->i32
+    # convert_element_type sends Mosaic's _convert_helper into infinite
+    # recursion at lowering time (grid indices are nonnegative, so truncating
+    # div == floor div here).
+    k = np.int32(128 // m_blk)
 
     def sl_map(i, c):
-        return (c % k, _Z)
+        return (lax.rem(c, k), _Z)
 
     def as_map(i, c):
-        return (i, _Z, c // k, c % k)
+        return (i, lax.div(c, k), lax.rem(c, k), _Z, _Z)
 
     def al_map(i, c):
-        return (i, _Z, c // k, _Z)
+        return (i, lax.div(c, k), _Z, _Z)
 
     tsl = pl.BlockSpec((m_blk, 128), sl_map, memory_space=pltpu.VMEM)
-    tas = pl.BlockSpec((1, X, 1, m_blk), as_map, memory_space=pltpu.VMEM)
-    tal = pl.BlockSpec((1, X, 1, 128), al_map, memory_space=pltpu.VMEM)
+    tas = pl.BlockSpec((1, 1, 1, X, m_blk), as_map, memory_space=pltpu.VMEM)
+    tal = pl.BlockSpec((1, 1, X, 128), al_map, memory_space=pltpu.VMEM)
     return tsl, tsl, tas, tas, tal, tal
 
 

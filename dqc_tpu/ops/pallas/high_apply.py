@@ -122,7 +122,7 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
     args = (xr, xi, e1, e2, e3)
     if has_diag:
         in_specs = in_specs + list(cm.dh_table_specs(X, M, m_blk))
-        args = args + tuple(diag)
+        args = args + cm.dh_table_views(diag, m_blk)
     if has_acc:
         ai_base = len(args)
         in_specs = in_specs + [big, big]

@@ -374,8 +374,12 @@ def backward_dhigh(fxr, fxi, bxr, bxi, Einv, E, tables_inv, tables, j: int,
     if with_q:
         A = pre * X * (M // 128)
         qsl = out[6] + 1j * out[7]
-        qas = (out[8] + 1j * out[9]).reshape(A, 128)
-        qal = (out[10] + 1j * out[11]).reshape(A, 128)
+        # kernel layouts (common.dh_table_views): qas (pre, post, k, X,
+        # m_blk), qal (pre, post, X, 128) -> canonical (A, 128) a-tables
+        qas = (jnp.transpose(out[8], (0, 3, 1, 2, 4)).reshape(A, 128)
+               + 1j * jnp.transpose(out[9], (0, 3, 1, 2, 4)).reshape(A, 128))
+        qal = (jnp.transpose(out[10], (0, 2, 1, 3)).reshape(A, 128)
+               + 1j * jnp.transpose(out[11], (0, 2, 1, 3)).reshape(A, 128))
         Q = (qsl, qas, qal)
     return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
             br.reshape(bxr.shape), bi.reshape(bxr.shape),

@@ -789,10 +789,14 @@ def test_block_backward_high_with_fused_diag(diag_first_fwd, m_blk):
 
     A = A1 * X * post
     qsl = np.asarray(out[6], np.float64) + 1j * np.asarray(out[7], np.float64)
+    # raw kernel layouts (common.dh_table_views): qas (A1, post, k, X,
+    # m_blk), qal (A1, post, X, 128) -> canonical (A, 128)
     qas = (np.asarray(out[8], np.float64)
-           + 1j * np.asarray(out[9], np.float64)).reshape(A, 128)
+           + 1j * np.asarray(out[9], np.float64)).transpose(
+               0, 3, 1, 2, 4).reshape(A, 128)
     qal = (np.asarray(out[10], np.float64)
-           + 1j * np.asarray(out[11], np.float64)).reshape(A, 128)
+           + 1j * np.asarray(out[11], np.float64)).transpose(
+               0, 2, 1, 3).reshape(A, 128)
     Qa = Q.reshape(A, 128, 128)
     np.testing.assert_allclose(qsl, Qa.sum(axis=0), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(qas, Qa.sum(axis=2), rtol=2e-3, atol=2e-3)
