@@ -54,6 +54,10 @@ LAYERS = int(os.environ.get("DQC_BENCH_LAYERS", "100"))
 REPS = int(os.environ.get("DQC_BENCH_REPS", "1"))
 TRY_30Q = os.environ.get("DQC_BENCH_30Q", "1") != "0"
 STORAGE = os.environ.get("DQC_BENCH_STORAGE", "f32")
+# >0: run the step as host-driven chunks of <= this many layers
+# (circuit/segmented.py) — required where one full step exceeds the
+# backend's single-execution watchdog (30q x 100L ~ 80 s on-device)
+SEG_CHUNK = int(os.environ.get("DQC_BENCH_SEG_CHUNK", "0"))
 
 
 def _fetch(v, g):
@@ -97,7 +101,12 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
     try:
         model = HardwareEfficientAnsatz(n_qubits, layers, entangler="cz", scan=True)
         params = model.init_params(jax.random.PRNGKey(0))
-        step = jax.jit(jax.value_and_grad(model.magnetization))
+        if SEG_CHUNK > 0:
+            def step(p):
+                return model.magnetization_value_and_grad_segmented(
+                    p, max_chunk=SEG_CHUNK)
+        else:
+            step = jax.jit(jax.value_and_grad(model.magnetization))
 
         tc0 = time.time()
         v, g = step(params)  # compile + warm up
@@ -132,7 +141,7 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
             model._layer_ftape, model._layer_consts, layers=layers)
         exec_passes = layers * (fwd_p + bwd_p) + 6  # +~6: epilogue/seed/convert
         achieved_gbps_est = exec_passes * bytes_per_sweep / dt / 1e9
-        xla_bytes = _cost_bytes(step, params)
+        xla_bytes = None if SEG_CHUNK > 0 else _cost_bytes(step, params)
         # per-layer bytes implied by the two sources (scan body counted once
         # by cost_analysis): reported so the driver log carries the
         # reconciliation every run
@@ -153,6 +162,7 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
             "achieved_GBps": achieved_gbps,
             "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
             "achieved_source": "schedule_estimate",
+            "segmented_chunk": SEG_CHUNK or None,
             "est_layer_bytes": est_layer_bytes,
             "xla_bytes_accessed_scan_body_once": xla_bytes,
         }
@@ -220,16 +230,18 @@ def main():
         # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding).
         # Runs in a SUBPROCESS: the 30q program needs the chip's full HBM,
         # and leftover device state from the headline run faults it.
-        # Depth is capped (default 48): a single 30q fwd+grad step at
-        # depth-100 runs ~80 s on-device and trips the backend's execution
-        # watchdog (measured: 48L = 38 s OK, 100L = UNAVAILABLE device
-        # error); gates/sec is depth-insensitive past ~20 layers.
+        # Depth-100 runs SEGMENTED (circuit/segmented.py, default 25-layer
+        # chunks): a single 30q fwd+grad step at depth-100 is ~80 s
+        # on-device and trips the backend's execution watchdog (measured:
+        # 48L = 38 s OK, 100L single-call = UNAVAILABLE device error).
         import subprocess
 
         env = dict(os.environ,
                    DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
                    DQC_BENCH_LAYERS=os.environ.get("DQC_BENCH_30Q_LAYERS",
-                                                   "48"),
+                                                   "100"),
+                   DQC_BENCH_SEG_CHUNK=os.environ.get(
+                       "DQC_BENCH_30Q_SEG_CHUNK", "25"),
                    DQC_BENCH_30Q="0")
         try:
             out = subprocess.run(

@@ -137,6 +137,37 @@ class HardwareEfficientAnsatz:
             densities = self._autodiff_run(gates, self._const_gates)
         return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real
 
+    def magnetization_value_and_grad_segmented(self, params: jax.Array, *,
+                                               max_chunk: int = 32):
+        """``jax.value_and_grad(self.magnetization)(params)`` executed as a
+        host-driven sequence of bounded device calls of at most
+        ``max_chunk`` layers each (circuit/segmented.py) — for backends
+        that kill long single executions (the measured ~60-80 s axon
+        watchdog: a 30q depth-100 step is ~80 s as ONE call and can only
+        run segmented). Requires scan mode and plane-engine eligibility;
+        gradients match the single-call engine (tests/test_segmented.py).
+        """
+        from dqc_tpu.circuit import plane_scan, segmented
+
+        if not self.scan:
+            raise ValueError("segmented execution requires scan mode")
+        if not plane_scan.use_plane_engine(self._layer_ftape, self.dtype):
+            raise ValueError(
+                "segmented execution runs on the plane engine; not eligible "
+                "here (needs >=14 qubits, complex64, TPU backend or "
+                "config.set_plane_engine(True))")
+
+        def loss_fn(densities):
+            return sum(jnp.einsum("ij,ji->", dm, self._z)
+                       for dm in densities).real
+
+        stacked, gates_vjp = jax.vjp(self._stacked_gates, params)
+        value, stacked_cts = segmented.segmented_scan_value_and_grad(
+            self._layer_ftape, self._epi_ftape, stacked, self._layer_consts,
+            loss_fn, max_chunk=max_chunk)
+        (params_ct,) = gates_vjp(stacked_cts)
+        return value, params_ct
+
     def loss_from_gates(self, var_gates) -> jax.Array:
         """Same loss taking explicit var gates (for kernel benchmarking)."""
         densities = self._autodiff_run(list(var_gates), self._const_gates)

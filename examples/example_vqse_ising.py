@@ -78,7 +78,9 @@ def main():
     jax.block_until_ready(params)
     elapsed = time.time() - t0
 
-    e = float(model.energy(params))
+    # jitted: eager complex ops fail on backends that cannot execute
+    # complex64 outside a compiled program (axon host-boundary restriction)
+    e = float(loss_and_grad(params)[0])
     exact = model.exact_ground_energy()
     print(f"Exact energy: {exact}")
     print(f"Found energy: {e}")
