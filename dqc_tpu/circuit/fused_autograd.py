@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dqc_tpu import config
 from dqc_tpu.circuit.fusion import FBlock, FCross, FDensity, FusedTape, GateRef
 from dqc_tpu.ops import groups as gr
 from dqc_tpu.ops import inversion
@@ -112,6 +113,19 @@ def _astype_host(x, dtype):
     return x.astype(dtype)
 
 
+def _opmul(a, b):
+    """Operator-space product at config precision. Plain ``@`` on traced
+    values runs at XLA's DEFAULT matmul precision — bf16 passes on the TPU
+    MXU, which makes a composed block operator non-unitary at the 1e-2
+    level (measured sv range [0.9954, 1.0118] for 7 composed 1q lane
+    expansions); a variational optimizer then mines that non-unitarity for
+    unbounded "energy" (E < exact ground at 20q x 26L). Host numpy pairs
+    multiply exactly in f32/f64 and skip the kwarg."""
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return a @ b
+    return jnp.matmul(a, b, precision=config.matmul_precision())
+
+
 def _compose(ops: List[jax.Array], *, diag: bool, reverse: bool = False) -> jax.Array:
     """Total block operator. ``reverse=True`` composes the inverse order
     (for uncompute: ``(E_m...E_1)^-1 = E_1^-1 ... E_m^-1``)."""
@@ -122,7 +136,7 @@ def _compose(ops: List[jax.Array], *, diag: bool, reverse: bool = False) -> jax.
         return total
     total = ops[0]
     for o in ops[1:]:
-        total = (total @ o) if reverse else (o @ total)
+        total = _opmul(total, o) if reverse else _opmul(o, total)
     return total
 
 
@@ -303,16 +317,16 @@ def dense_block_var_cts(fi: FBlock, ops, T0, var_gates, const_gates, g: int,
     prefix = [None] * (m + 1)
     prefix[0] = _host_eye(g, dtype)
     for i in range(m):
-        prefix[i + 1] = ops[i] @ prefix[i]
+        prefix[i + 1] = _opmul(ops[i], prefix[i])
     # suffix[i] = E_{m-1} ... E_{i+1}  (operators applied after gate i)
     suffix = [None] * m
     suffix[m - 1] = _host_eye(g, dtype)
     for i in range(m - 2, -1, -1):
-        suffix[i] = suffix[i + 1] @ ops[i + 1]
+        suffix[i] = _opmul(suffix[i + 1], ops[i + 1])
     for i, ref in enumerate(fi.gates):
         if not ref.var:
             continue
-        full_ct = suffix[i].T @ T0 @ prefix[i].T
+        full_ct = _opmul(_opmul(suffix[i].T, T0), prefix[i].T)
         gate = _astype_host(_ref_gate(ref, var_gates, const_gates), dtype)
         _, vjp = jax.vjp(
             lambda x, r=ref: _ref_op(r, x.astype(dtype), g),

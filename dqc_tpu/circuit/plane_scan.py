@@ -1022,14 +1022,16 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
         T4 = T0m.reshape(X, Xl, X, Xl)
         if fi_top.has_var:
             T0_top = jnp.einsum("ab,xayb->xy", jnp.asarray(El).astype(C64),
-                                T4.astype(C64))
+                                T4.astype(C64),
+                                precision=config.matmul_precision())
             ops = _block_ops(fi_top, var_gates, const_gates,
                              sizes[fi_top.group], C64)
             dense_block_var_cts(fi_top, ops, T0_top, var_gates, const_gates,
                                 sizes[fi_top.group], C64, var_cts)
         if fi_low.has_var:
             T0_low = jnp.einsum("ed,exdy->xy", jnp.asarray(Et).astype(C64),
-                                T4.astype(C64))
+                                T4.astype(C64),
+                                precision=config.matmul_precision())
             ops = _block_ops(fi_low, var_gates, const_gates,
                              sizes[fi_low.group], C64)
             dense_block_var_cts(fi_low, ops, T0_low, var_gates, const_gates,

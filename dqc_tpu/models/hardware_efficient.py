@@ -17,6 +17,7 @@ import numpy as np
 
 from dqc_tpu import config
 from dqc_tpu.circuit.builder import AutoGradCircuit
+from dqc_tpu.ops.observables import expval_from_density
 
 
 class HardwareEfficientAnsatz:
@@ -135,7 +136,7 @@ class HardwareEfficientAnsatz:
         else:
             gates = self.params2gates(params)
             densities = self._autodiff_run(gates, self._const_gates)
-        return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real
+        return sum(expval_from_density(dm, self._z) for dm in densities)
 
     def magnetization_value_and_grad_segmented(self, params: jax.Array, *,
                                                max_chunk: int = 32):
@@ -158,8 +159,7 @@ class HardwareEfficientAnsatz:
                 "config.set_plane_engine(True))")
 
         def loss_fn(densities):
-            return sum(jnp.einsum("ij,ji->", dm, self._z)
-                       for dm in densities).real
+            return sum(expval_from_density(dm, self._z) for dm in densities)
 
         stacked, gates_vjp = jax.vjp(self._stacked_gates, params)
         value, stacked_cts = segmented.segmented_scan_value_and_grad(
@@ -171,4 +171,4 @@ class HardwareEfficientAnsatz:
     def loss_from_gates(self, var_gates) -> jax.Array:
         """Same loss taking explicit var gates (for kernel benchmarking)."""
         densities = self._autodiff_run(list(var_gates), self._const_gates)
-        return sum(jnp.einsum("ij,ji->", dm, self._z) for dm in densities).real
+        return sum(expval_from_density(dm, self._z) for dm in densities)

@@ -17,6 +17,7 @@ import numpy as np
 
 from dqc_tpu import config
 from dqc_tpu.circuit.builder import AutoGradCircuit
+from dqc_tpu.ops.observables import expval_from_density
 
 
 class QAOAMaxCut:
@@ -134,7 +135,7 @@ class QAOAMaxCut:
         dens = self._densities(params)
         cut = 0.0
         for dm, w in zip(dens, self.weights):
-            zz = jnp.einsum("ij,ji->", dm, self._zz).real
+            zz = expval_from_density(dm, self._zz)
             cut = cut + float(w) * (1.0 - zz) / 2.0
         return cut
 

@@ -25,6 +25,7 @@ import numpy as np
 from dqc_tpu import config
 from dqc_tpu.circuit.builder import AutoGradCircuit
 from dqc_tpu.ops import gates as G
+from dqc_tpu.ops.observables import expval_from_density
 
 
 class VQEIsing:
@@ -143,8 +144,7 @@ class VQEIsing:
             densities = self._autodiff_run(
                 self.params2gates(params), self._const_gates
             )
-        e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
-        return e.real
+        return sum(expval_from_density(dm, self.h) for dm in densities)
 
     def build_distributed_energy(self, mesh, axis=None, scan: Optional[bool] = None):
         """Energy over a sharded statevector (parallel/). Returns a
@@ -166,8 +166,8 @@ class VQEIsing:
             def energy(params):
                 gates = self.params2gates(params)
                 densities = run(gates, self._const_gates)
-                e = sum(jnp.einsum("ij,ji->", dm, self.h) for dm in densities)
-                return e.real
+                return sum(expval_from_density(dm, self.h)
+                           for dm in densities)
 
             return energy
 
@@ -226,8 +226,7 @@ class VQEIsing:
                 _, local = dist_fused_run(pro_prog, axis, local, (), const_gates)
                 local = scan_layers(layer_prog, axis, local, stacked, ())
                 densities = dist_fused_forward(epi_prog, axis, local, (), ())
-            e = sum(jnp.einsum("ij,ji->", dm, h) for dm in densities)
-            return e.real
+            return sum(expval_from_density(dm, h) for dm in densities)
 
         mapped = jax.shard_map(body, mesh=mesh, in_specs=(P(),), out_specs=P(),
                                check_vma=False)

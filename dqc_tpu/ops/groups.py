@@ -153,7 +153,10 @@ def _expand_in_group_impl(xp, gate, rel_positions, g: int):
     gate = gate.reshape(1 << k, 1 << k)
     others = [b for b in range(g - 1, -1, -1) if b not in rel_positions]
     eye = xp.eye(1 << len(others), dtype=gate.dtype)
-    D = xp.einsum("ab,cd->acbd", gate, eye)
+    # precision matters for the VJP of this einsum (the gate-cotangent
+    # contraction inherits the forward's precision; default = bf16 on MXU)
+    kw = {} if xp is np else {"precision": config.matmul_precision()}
+    D = xp.einsum("ab,cd->acbd", gate, eye, **kw)
     D = D.reshape((2,) * g + (2,) * g)
     current = list(rel_positions) + others  # bit label of each out axis
     perm_out = [current.index(b) for b in range(g - 1, -1, -1)]
@@ -593,7 +596,8 @@ def group_diag_gram(fwd_t: jax.Array, bwd_t: jax.Array, j: int) -> jax.Array:
     yields every per-gate gradient of a fused all-diagonal block."""
     ax = _axis_of_group(fwd_t.ndim, j)
     sub = _LETTERS[: fwd_t.ndim]
-    return jnp.einsum(f"{sub},{sub}->{sub[ax]}", bwd_t, fwd_t)
+    return jnp.einsum(f"{sub},{sub}->{sub[ax]}", bwd_t, fwd_t,
+                      precision=config.matmul_precision())
 
 
 def group_pair_gram(fwd_t: jax.Array, bwd_t: jax.Array, j: int) -> jax.Array:

@@ -39,7 +39,8 @@ def pauli_matrix(s: str, dtype=None) -> np.ndarray:
 
 def expval_from_density(rho: jax.Array, op) -> jax.Array:
     """``tr(rho O)`` (real part — O is assumed Hermitian)."""
-    return jnp.einsum("ij,ji->", rho, jnp.asarray(op, dtype=rho.dtype)).real
+    return jnp.einsum("ij,ji->", rho, jnp.asarray(op, dtype=rho.dtype),
+                      precision=config.matmul_precision()).real
 
 
 class PauliSum:
@@ -107,4 +108,4 @@ def fidelity(state_a: jax.Array, state_b: jax.Array) -> jax.Array:
     """``|<a|b>|^2`` for normalized statevectors."""
     a = jnp.asarray(state_a).reshape(-1)
     b = jnp.asarray(state_b).reshape(-1)
-    return jnp.abs(jnp.vdot(a, b)) ** 2
+    return jnp.abs(jnp.vdot(a, b, precision=config.matmul_precision())) ** 2

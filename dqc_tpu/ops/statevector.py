@@ -226,7 +226,7 @@ def norm(state: jax.Array) -> jax.Array:
 
 def fidelity(a: jax.Array, b: jax.Array) -> jax.Array:
     """|<a|b>|^2."""
-    return jnp.abs(jnp.vdot(a, b)) ** 2
+    return jnp.abs(jnp.vdot(a, b, precision=config.matmul_precision())) ** 2
 
 
 # ---------------------------------------------------------------------------

@@ -602,3 +602,66 @@ def test_ddual_after_kernel_on_hardware():
         np.complex128)
     want = D * z
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+@skip_no_tpu
+def test_block_operator_composition_precision_on_hardware():
+    """Composed block operators must be exact-f32 on the MXU.
+
+    Plain ``@`` on traced operators runs at XLA's DEFAULT precision —
+    bf16 passes on the TPU MXU. A lane-group operator composed from 7
+    expanded 1q unitaries then deviates ~4e-3 from the true product with
+    singular values in [0.995, 1.012] (measured on v5e), i.e. it is
+    NON-unitary at the 1e-2 level; a variational optimizer mines that for
+    unbounded "energy" (observed: VQE 20q x 26L converging below the exact
+    ground energy). ``fused_autograd._compose`` therefore routes every
+    operator product through config.matmul_precision() (HIGHEST); this
+    pins the composed operator AND a var-gate cotangent closed from it
+    against numpy at f32 tolerance on the real chip."""
+    from dqc_tpu.circuit import fused_autograd as fa
+    from dqc_tpu.ops import groups as gr
+
+    rng = np.random.default_rng(7)
+    g = 7
+    gates, expanded = [], []
+    for i in range(g):
+        z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, _ = np.linalg.qr(z)
+        gates.append(q.astype(np.complex64))
+        m = np.asarray(1.0)
+        for j in range(g - 1, -1, -1):
+            m = np.kron(m, q if j == i else np.eye(2))
+        expanded.append(m.astype(np.complex128))
+
+    # traced expansion + composition (the engine path for a var block);
+    # complex64 cannot cross the axon host boundary — marshal real pairs
+    def compose_pairs(parts):
+        ops = [gr.expand_in_group(r + 1j * i, (k,), g)
+               for k, (r, i) in enumerate(parts)]
+        t = fa._compose(ops, diag=False)
+        return t.real, t.imag
+    parts = [(jnp.asarray(q.real), jnp.asarray(q.imag)) for q in gates]
+    tr, ti = jax.jit(compose_pairs)(parts)
+    ref = expanded[0]
+    for m in expanded[1:]:
+        ref = m @ ref
+    got = np.asarray(tr, np.float64) + 1j * np.asarray(ti, np.float64)
+    assert np.abs(got - ref).max() < 2e-6, np.abs(got - ref).max()
+    sv = np.linalg.svd(got, compute_uv=False)
+    assert abs(sv.max() - 1.0) < 1e-5 and abs(sv.min() - 1.0) < 1e-5
+
+    # gradient closure: suffix^T T0 prefix^T at HIGHEST too
+    T0 = (rng.normal(size=(1 << g, 1 << g))
+          + 1j * rng.normal(size=(1 << g, 1 << g))).astype(np.complex64)
+
+    def closure_pairs(er, ei, t0r, t0i):
+        a = gr.expand_in_group(er + 1j * ei, (0,), g)
+        ct = fa._opmul(fa._opmul(a.T, t0r + 1j * t0i), a.T)
+        return ct.real, ct.imag
+    cr, ci = jax.jit(closure_pairs)(
+        jnp.asarray(gates[0].real), jnp.asarray(gates[0].imag),
+        jnp.asarray(T0.real), jnp.asarray(T0.imag))
+    ref_ct = expanded[0].T @ T0.astype(np.complex128) @ expanded[0].T
+    got_ct = np.asarray(cr, np.float64) + 1j * np.asarray(ci, np.float64)
+    rel = np.abs(got_ct - ref_ct).max() / np.abs(ref_ct).max()
+    assert rel < 2e-6, rel
