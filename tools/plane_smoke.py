@@ -62,7 +62,8 @@ def main():
     rel = np.linalg.norm(g1 - g0) / (np.linalg.norm(g0) + 1e-12)
     print(f"value diff {abs(v1-v0):.3e}; grad rel err {rel:.3e}; "
           f"speedup x{t0/t1:.2f}", flush=True)
-    assert rel < 1e-3, "plane-engine gradients diverge from XLA path"
+    # post precision-fix bar: measured 2.5e-5 at 26q x 26L, 7.8e-5 at 8L
+    assert rel < 3e-4, "plane-engine gradients diverge from XLA path"
 
 
 if __name__ == "__main__":
