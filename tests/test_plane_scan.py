@@ -90,7 +90,8 @@ def plane_mode():
     config.set_plane_engine("auto")
 
 
-@pytest.mark.parametrize("n", [14, 15, 16])
+@pytest.mark.parametrize("n", [14, 15,
+                               pytest.param(16, marks=pytest.mark.slow)])
 def test_forward_parity(n):
     ftape, stacked, consts = build_layer(n, seed=n)
     assert plane_tape_eligible(ftape, C64)

@@ -174,8 +174,13 @@ def test_vqe_distributed_scan_matches(mesh8):
     np.testing.assert_allclose(g1, g3, rtol=1e-8, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_odd_sizes_distributed(mesh8):
-    """n not aligned to group boundaries, k=3: groups split unevenly."""
+    """n not aligned to group boundaries, k=3: groups split unevenly.
+
+    Slow tier (suite budget): the uneven-split mechanics are also covered
+    by the default-tier mixed-circuit parity tests at aligned sizes; this
+    adds only the odd-n axis."""
     for n in (9, 11):
         c, var_gates, const_gates = build_mixed_circuit(n, seed=n)
         _, a_run = c.build()
