@@ -4,11 +4,16 @@ The 30q plane state views its two top groups as one merged contracted
 axis (X = 512, planes (1, 512, M, 128)); block_backward_high chunks the
 m axis for VMEM but the chunk/block sizes were chosen for fit, not speed.
 This sweep times the kernel at a REPRESENTATIVE M slice (the grid is
-(A1, M // m_blk) of independent cells, so per-pass bandwidth at
-M = 2^momentum extrapolates linearly to the full 30q M = 2^21 column)
-across m_blk and dot modes.
+(A1, M // m_blk) of independent cells, so per-pass bandwidth at a small
+M extrapolates linearly to the full 30q column, M = 2^30 / (512 * 128)
+= 2^14) across m_blk and dot modes.
 
-Usage:  python tools/mtop_sweep.py [M_log2=17] [reps=10]   (TPU)
+SIZE WARNING: per plane bytes = 512 * 2^M_log2 * 128 * 4; M_log2 = 12 is
+1.07 GB/plane (8.6 GB live on a 16 GB chip — near the ceiling); anything
+above 13 exceeds the chip AND the measured 30q shape. The old default of
+17 was wrong (34 GB/plane — minutes of host RNG, then an OOM).
+
+Usage:  python tools/mtop_sweep.py [M_log2=12] [reps=5]    (TPU)
         python tools/mtop_sweep.py check                    (CPU oracle)
 """
 
@@ -36,7 +41,7 @@ def _args(M, rng):
     return (fr, fi, br, bi) + ops
 
 
-def sweep(m_log2=17, reps=10):
+def sweep(m_log2=12, reps=5):
     from dqc_tpu.ops.pallas.block_backward import block_backward_high
 
     M = 1 << m_log2
@@ -97,6 +102,6 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         check()
     else:
-        m_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
-        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        m_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
         sweep(m_log2, reps)
