@@ -642,7 +642,7 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
                                              "bwd_dot_mode", "diag_first_fwd",
                                              "diag_q", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
-                        *, m_blk: int = 8, dot_mode: str = "f32",
+                        *, m_blk: int = None, dot_mode: str = "f32",
                         bwd_dot_mode: str = None,
                         diag_inv_tables=None, diag_tables=None,
                         diag_first_fwd: bool = True, diag_q: bool = False,
@@ -663,6 +663,11 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     """
     assert fr.ndim == 4 and fr.shape[-1] == 128
     A1, X, M, _ = fr.shape
+    if m_blk is None:
+        # measured (tools/mtop_sweep.py, X=512 slice): m_blk=16 beats 8 by
+        # ~5% f32 / ~6% bf16x3 on the merged-top shapes; >=32 is rejected
+        # by the compiler (VMEM). Smaller X keeps the original 8 (untuned).
+        m_blk = 16 if (X >= 512 and M % 16 == 0) else 8
     if (jnp.dtype(fr.dtype) == jnp.bfloat16
             or jnp.dtype(br.dtype) == jnp.bfloat16):
         m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
