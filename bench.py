@@ -197,8 +197,46 @@ def _preflight_device(timeout_s: int = 600) -> None:
             "(backend tunnel down?) — not benchmarking a dead device")
 
 
+def _run_30q() -> dict:
+    """BASELINE.md's "measured at 30 qubits": opt-in mixed storage fits the
+    adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding). Runs in a
+    SUBPROCESS: the 30q program needs the chip's full HBM. Depth-100 runs
+    SEGMENTED (circuit/segmented.py, default 25-layer chunks): a single 30q
+    fwd+grad step at depth-100 is ~80 s on-device and trips the backend's
+    execution watchdog (measured: 48L = 38 s OK, 100L single-call =
+    UNAVAILABLE device error). Returns the subprocess's detail dict, or
+    {"error": ...} — either way the outcome lands in the machine-parsed
+    headline JSON, never only in a stderr comment."""
+    import subprocess
+
+    env = dict(os.environ,
+               DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
+               DQC_BENCH_LAYERS=os.environ.get("DQC_BENCH_30Q_LAYERS", "100"),
+               DQC_BENCH_SEG_CHUNK=os.environ.get(
+                   "DQC_BENCH_30Q_SEG_CHUNK", "25"),
+               DQC_BENCH_30Q="0")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3000)
+        line = next((l for l in out.stderr.splitlines()
+                     if l.startswith("# detail: ")), None)
+        if line:
+            return json.loads(line[len("# detail: "):])
+        return {"error": f"rc={out.returncode} "
+                         f"{(out.stderr or out.stdout)[-300:]}"}
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def main():
     _preflight_device()
+
+    # the 30q run goes FIRST (fresh process, full HBM, no leftover device
+    # state from the headline compile) so its outcome can be embedded in
+    # the one machine-parsed JSON line below
+    detail30 = _run_30q() if TRY_30Q and max(QUBIT_TRIES) < 30 else None
+
     result = None
     err = None
     for nq in QUBIT_TRIES:
@@ -212,7 +250,7 @@ def main():
     if result is None:
         raise SystemExit(f"benchmark failed at all sizes: {err}")
 
-    print(json.dumps({
+    headline = {
         "metric": f"gate applications/sec, fwd+grad of {result['qubits']}q x "
                   f"{result['layers']}-layer/{result['gates']}-gate hardware-efficient "
                   f"ansatz (O(1)-memory adjoint, gate fusion + layer scan, "
@@ -222,42 +260,17 @@ def main():
         "value": round(result["gates_per_sec"], 3),
         "unit": "gates/sec",
         "vs_baseline": round(result["sol_fraction"], 4),
-    }))
+    }
+    if detail30 is not None:
+        headline["q30"] = (
+            {k: detail30[k] for k in
+             ("qubits", "layers", "gates", "state_storage", "segmented_chunk",
+              "sec_per_grad_step", "gates_per_sec")}
+            if "error" not in detail30 else detail30)
+    print(json.dumps(headline))
     print(f"# detail: {json.dumps(result)}", file=sys.stderr)
-
-    if TRY_30Q and result["qubits"] < 30:
-        # BASELINE.md's "measured at 30 qubits": opt-in mixed storage fits
-        # the adjoint in 8+4 GB (value exact-f32, grads at bf16 rounding).
-        # Runs in a SUBPROCESS: the 30q program needs the chip's full HBM,
-        # and leftover device state from the headline run faults it.
-        # Depth-100 runs SEGMENTED (circuit/segmented.py, default 25-layer
-        # chunks): a single 30q fwd+grad step at depth-100 is ~80 s
-        # on-device and trips the backend's execution watchdog (measured:
-        # 48L = 38 s OK, 100L single-call = UNAVAILABLE device error).
-        import subprocess
-
-        env = dict(os.environ,
-                   DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
-                   DQC_BENCH_LAYERS=os.environ.get("DQC_BENCH_30Q_LAYERS",
-                                                   "100"),
-                   DQC_BENCH_SEG_CHUNK=os.environ.get(
-                       "DQC_BENCH_30Q_SEG_CHUNK", "25"),
-                   DQC_BENCH_30Q="0")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3000)
-            line = next((l for l in out.stderr.splitlines()
-                         if l.startswith("# detail: ")), None)
-            if line:
-                print("# detail30: " + line[len("# detail: "):],
-                      file=sys.stderr)
-            else:
-                print(f"# 30q mixed-storage run failed: rc={out.returncode} "
-                      f"{out.stderr[-300:]}", file=sys.stderr)
-        except Exception as e:
-            print(f"# 30q mixed-storage run failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
+    if detail30 is not None:
+        print(f"# detail30: {json.dumps(detail30)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,57 @@ from dqc_tpu import config
 from dqc_tpu.circuit.fusion import FusedTape
 from dqc_tpu.circuit import plane_scan as ps
 from dqc_tpu.ops import planes as pl
+from dqc_tpu.utils import boundary
+
+
+# ---------------------------------------------------------------------------
+# Host<->device marshalling for the segmented driver.
+#
+# Serving TPU backends cannot move complex64 across the host boundary (jit
+# args or fetches raise UNIMPLEMENTED — utils/boundary.py) and, measured on
+# the axon backend, one such attempt POISONS the PJRT client: every later
+# dispatch fails too. The single-call engine never trips this (one jit, all
+# complex constants embedded in the program), but the segmented driver hands
+# arrays between many jit calls, so every complex input must be lifted to a
+# device-resident array first (real-pair split on host, ``lax.complex``
+# inside a tiny cached jit), and every host-side stage that touches complex
+# math — the loss epilogue, the gate-parameterization vjp — must itself run
+# jitted, never eagerly (an eager op with a complex constant is a complex
+# host->device transfer of that constant).
+# ---------------------------------------------------------------------------
+
+_merge_pair_jit = jax.jit(boundary.merge_pair)
+
+
+def _lift_arrays(arrs) -> Tuple[jax.Array, ...]:
+    """Host arrays -> device arrays without a complex host->device
+    transfer; device-resident arrays pass through untouched."""
+    out = []
+    for g in arrs:
+        if isinstance(g, jax.Array):
+            out.append(g)
+        elif jnp.iscomplexobj(g):
+            out.append(_merge_pair_jit(boundary.split_pair(g)))
+        else:
+            out.append(jnp.asarray(g))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _loss_cts_fn(loss_from_densities):
+    """value + density cotangents in ONE jitted call (the observable
+    matrices inside the loss are complex constants — legal only embedded
+    in a compiled program). Cached on the loss function object: callers
+    must pass a stable function (e.g. a per-model-instance closure) or
+    they pay a recompile per call."""
+
+    @jax.jit
+    def f(densities):
+        value, vjp = jax.vjp(loss_from_densities, densities)
+        (density_cts,) = vjp(jnp.ones_like(value))
+        return value, density_cts
+
+    return f
 
 
 def chunk_sizes(layers: int, max_chunk: int) -> List[int]:
@@ -231,8 +282,8 @@ def segmented_scan_value_and_grad(ftape: FusedTape, epi_ftape: FusedTape,
     :func:`plane_scan.plane_std_scan_densities` wrt the var gates; requires
     plane-engine eligibility (caller checks ``use_plane_engine``).
     """
-    stacked_var_gates = tuple(jnp.asarray(g) for g in stacked_var_gates)
-    const_gates = tuple(jnp.asarray(g) for g in const_gates)
+    stacked_var_gates = _lift_arrays(stacked_var_gates)
+    const_gates = _lift_arrays(const_gates)
     L = ps._num_layers(stacked_var_gates)
     program = ps.plane_program(ftape)
     rotated = (ps._rotatable_const_diag(program, ftape) is not None
@@ -261,8 +312,7 @@ def segmented_scan_value_and_grad(ftape: FusedTape, epi_ftape: FusedTape,
 
     # ---- epilogue: densities -> value + density cotangents (tiny) ----
     densities = _epilogue_fn(epi_ftape)(xr, xi)
-    value, vjp = jax.vjp(loss_from_densities, densities)
-    (density_cts,) = vjp(jnp.ones_like(value))
+    value, density_cts = _loss_cts_fn(loss_from_densities)(densities)
 
     # ---- seeds (+ rotation-tail uncompute) ----
     fxr, fxi, bxr, bxi = _seed_fn(ftape, epi_ftape, rotated)(
@@ -299,5 +349,5 @@ def segmented_scan_value_and_grad(ftape: FusedTape, epi_ftape: FusedTape,
 def segmented_cache_clear():
     """Drop the jitted-piece caches (used by tests that flip config)."""
     for f in (_fwd_chunk_fn, _bwd_chunk_fn, _head_fn, _tail_fn,
-              _epilogue_fn, _seed_fn, _bwd_head_fn):
+              _epilogue_fn, _seed_fn, _bwd_head_fn, _loss_cts_fn):
         f.cache_clear()

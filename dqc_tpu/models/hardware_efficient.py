@@ -9,6 +9,7 @@ qubit, with a transverse-magnetization loss.
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -158,15 +159,38 @@ class HardwareEfficientAnsatz:
                 "here (needs >=14 qubits, complex64, TPU backend or "
                 "config.set_plane_engine(True))")
 
+        # every complex-touching stage runs JITTED: an eager vjp of the
+        # complex gate parameterization (or an eager loss with the complex
+        # observable constant) is a complex64 host->device transfer, which
+        # serving TPU backends reject AND which poisons the PJRT client
+        # (circuit/segmented.py marshalling notes)
+        stacked = self._stacked_gates_jit(params)
+        value, stacked_cts = segmented.segmented_scan_value_and_grad(
+            self._layer_ftape, self._epi_ftape, stacked, self._layer_consts,
+            self._density_loss, max_chunk=max_chunk)
+        params_ct = self._stacked_pullback_jit(params, stacked_cts)
+        return value, params_ct
+
+    @functools.cached_property
+    def _stacked_gates_jit(self):
+        return jax.jit(self._stacked_gates)
+
+    @functools.cached_property
+    def _stacked_pullback_jit(self):
+        def pull(p, cts):
+            return jax.vjp(self._stacked_gates, p)[1](tuple(cts))[0]
+
+        return jax.jit(pull)
+
+    @functools.cached_property
+    def _density_loss(self):
+        """Stable per-instance loss closure: segmented._loss_cts_fn caches
+        its jitted wrapper on this object's identity."""
+
         def loss_fn(densities):
             return sum(expval_from_density(dm, self._z) for dm in densities)
 
-        stacked, gates_vjp = jax.vjp(self._stacked_gates, params)
-        value, stacked_cts = segmented.segmented_scan_value_and_grad(
-            self._layer_ftape, self._epi_ftape, stacked, self._layer_consts,
-            loss_fn, max_chunk=max_chunk)
-        (params_ct,) = gates_vjp(stacked_cts)
-        return value, params_ct
+        return loss_fn
 
     def loss_from_gates(self, var_gates) -> jax.Array:
         """Same loss taking explicit var gates (for kernel benchmarking)."""

@@ -131,7 +131,7 @@ def test_gradient_parity(n, nonu):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_pl), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_model_dispatch_parity(plane_mode):
@@ -148,7 +148,7 @@ def test_model_dispatch_parity(plane_mode):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-5, atol=2e-6)
 
 
 def test_vqe_ising_layer_parity():
@@ -197,7 +197,7 @@ def test_vqe_ising_layer_parity():
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_schedule_dual_pairs():
@@ -286,7 +286,7 @@ def test_plane_epilogue_parity():
         loss_with(lambda s: fused_tape_forward(epi_ft, s, (), ())))(state)
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-5, atol=2e-6)
 
 
 def test_plane_epilogue_eligibility():
@@ -355,7 +355,7 @@ def test_distributed_plane_scan_parity(plane_mode):
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=2e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -375,7 +375,7 @@ def test_distributed_plane_vqe_dispatch(plane_mode):
     v_r, g_r = jax.value_and_grad(e_ref)(params)
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
-                               rtol=3e-4, atol=2e-5)
+                               rtol=3e-5, atol=5e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +440,7 @@ def test_plane_tape_forward_parity(n):
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=2e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 def test_plane_tape_trailing_zero_grads(plane_mode):
@@ -492,7 +492,7 @@ def test_build_dispatches_plane_engine(plane_mode):
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=2e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -547,7 +547,7 @@ def test_plane_tape_edge_cases(plane_mode):
         return jnp.sum(jnp.abs(dens[0]) ** 2).real
     (r_init, r_v) = jax.grad(loss_ref, argnums=(0, 1))(init, vg)
     np.testing.assert_allclose(np.asarray(g_init), np.asarray(r_init),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-5, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(g_v[0]), 0)
     np.testing.assert_array_equal(np.asarray(r_v[0]), 0)
 
@@ -572,7 +572,7 @@ def test_plane_tape_edge_cases(plane_mode):
     g3 = jax.grad(lambda v: loss3(v, plane_tape_forward))(vg)
     r3 = jax.grad(lambda v: loss3(v, fused_tape_forward))(vg)
     np.testing.assert_allclose(np.asarray(g3[0]), np.asarray(r3[0]),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.slow
@@ -597,7 +597,7 @@ def test_vqe_model_std_path_parity(plane_mode):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.parametrize("n", [pytest.param(15, marks=pytest.mark.slow),
@@ -620,7 +620,7 @@ def test_dense_cross_model_parity(plane_mode, n):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=3e-4, atol=3e-5)
+                               rtol=3e-5, atol=3e-6)
 
 
 def test_dense_cross_var_gate_tape_parity(plane_mode):
@@ -660,7 +660,7 @@ def test_dense_cross_var_gate_tape_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=3e-5)
+                                   rtol=3e-5, atol=3e-6)
 
 
 def test_multi_group_diag_tape_parity(plane_mode):
@@ -697,7 +697,7 @@ def test_multi_group_diag_tape_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=3e-5)
+                                   rtol=3e-5, atol=3e-6)
 
 
 def test_multi_group_diag_scan_parity(plane_mode):
@@ -728,7 +728,7 @@ def test_multi_group_diag_scan_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=3e-5)
+                                   rtol=3e-5, atol=3e-6)
 
 
 def test_k3_dense_cross_tape_parity(plane_mode):
@@ -764,7 +764,7 @@ def test_k3_dense_cross_tape_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=5e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -810,7 +810,7 @@ def test_hpair_merged_top_sweep_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=3e-5)
+                                   rtol=3e-5, atol=3e-6)
 
 
 @pytest.mark.slow
@@ -830,7 +830,7 @@ def test_merged_seed_and_gram_epilogue_parity(plane_mode):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=3e-4, atol=3e-5)
+                               rtol=3e-5, atol=3e-6)
 
 
 def test_xcross_and_cross_density_parity(plane_mode):
@@ -865,7 +865,7 @@ def test_xcross_and_cross_density_parity(plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=5e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -886,7 +886,7 @@ def test_vqe_epilogue_cross_density_plane_parity(plane_mode):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=3e-4, atol=3e-5)
+                               rtol=3e-5, atol=3e-6)
 
 
 @pytest.mark.slow
@@ -916,13 +916,13 @@ def test_dist_plane_std_pipeline_parity(plane_mode):
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               rtol=3e-4, atol=3e-5)
+                               rtol=3e-5, atol=3e-6)
 
     # and vs the single-device engine
     v_1, g_1 = jax.value_and_grad(m.energy)(params)
     np.testing.assert_allclose(float(v_pl), float(v_1), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_1),
-                               rtol=3e-4, atol=3e-5)
+                               rtol=3e-5, atol=3e-6)
 
 
 def test_sink_diag_items_schedule():
@@ -1006,7 +1006,7 @@ def test_rotated_scan_parity(plane_mode):
     for a, b in zip(jax.tree_util.tree_leaves(g_pl),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-5, atol=2e-6)
 
     # L=1 degenerates to the unrotated path
     one = tuple(g[:1] for g in stacked)
@@ -1068,7 +1068,7 @@ def test_rotation_behind_barrier(plane_mode):
     for a, b in zip(jax.tree_util.tree_leaves(g_pl),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=3e-5)
+                                   rtol=2e-5, atol=3e-6)
 
     one = tuple(g[:1] for g in stacked)
     v1r = loss_with(_scanned_layers_xla)(one, init)
@@ -1135,7 +1135,7 @@ def test_dhigh_fold_parity(order, plane_mode):
     np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.parametrize("seed", [0,
@@ -1212,7 +1212,7 @@ def test_random_tape_plane_parity(seed, plane_mode):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=3e-5)
+                                   rtol=3e-5, atol=3e-6)
 
 
 @pytest.mark.slow
@@ -1273,7 +1273,7 @@ def test_distributed_dhigh_segment_parity(plane_mode):
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=2e-5)
+                                   rtol=3e-5, atol=5e-6)
 
 
 def test_ddual_after_fold_parity(plane_mode):
@@ -1311,7 +1311,7 @@ def test_ddual_after_fold_parity(plane_mode):
     np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_locality_reorder_plan_shape():

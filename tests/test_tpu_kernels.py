@@ -665,3 +665,39 @@ def test_block_operator_composition_precision_on_hardware():
     got_ct = np.asarray(cr, np.float64) + 1j * np.asarray(ci, np.float64)
     rel = np.abs(got_ct - ref_ct).max() / np.abs(ref_ct).max()
     assert rel < 2e-6, rel
+
+
+@skip_no_tpu
+@pytest.mark.parametrize("storage", ["f32", "mixed"])
+def test_segmented_step_on_hardware(storage):
+    """Segmented fwd+grad end-to-end ON THE REAL BACKEND (both storages).
+
+    This is the program shape that silently killed the round-3 driver
+    capture at 30q: the segmented driver hands arrays between many jit
+    calls, and serving TPU backends reject ANY complex64 host<->device
+    transfer — an eager op with a complex constant (the gate
+    parameterization's ``exp(1j*b)`` under eager ``jax.vjp``) or a
+    complex numpy jit argument (the entangler const gates) raises
+    UNIMPLEMENTED and POISONS the PJRT client, so the step dies at the
+    first fetch with no useful location. CPU tests cannot catch this
+    (CPU transfers complex fine); this pins the whole segmented +
+    mixed-storage path on hardware at a small plane-eligible shape."""
+    from dqc_tpu import config
+    from dqc_tpu.circuit import segmented
+    from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
+
+    config.set_state_storage(storage)
+    try:
+        model = HardwareEfficientAnsatz(14, 5, entangler="cz", scan=True)
+        params = model.init_params(jax.random.PRNGKey(3))
+        v_seg, g_seg = model.magnetization_value_and_grad_segmented(
+            params, max_chunk=2)
+        v_one, g_one = jax.jit(jax.value_and_grad(model.magnetization))(params)
+        assert np.isfinite(float(v_seg))
+        np.testing.assert_allclose(float(v_seg), float(v_one), rtol=1e-6)
+        tol = dict(rtol=2e-5, atol=1e-6) if storage == "f32" else \
+            dict(rtol=3e-2, atol=3e-3)  # bf16 cotangent rounding
+        np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_one), **tol)
+    finally:
+        config.set_state_storage("f32")
+        segmented.segmented_cache_clear()
