@@ -43,7 +43,13 @@ try:
 except Exception as e:  # older jax without the flag: run uncached
     print(f"# compile cache unavailable: {e}", file=sys.stderr)
 
-HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e
+HBM_GBPS = float(os.environ.get("DQC_HBM_GBPS", 819.0))  # TPU v5e spec
+# measured streaming ceiling for the kernels' 2-read/2-write aliased plane
+# pattern on this part (tools/dual_floor.py: pallas pure copy 494 GB/s,
+# XLA's own elementwise add 457) — the spec sheet's 819 is not reachable
+# by ANY copy-shaped program here, so achieved fractions are reported
+# against both
+COPY_GBPS = float(os.environ.get("DQC_HBM_COPY_GBPS", 490.0))
 # 29q is the exact-f32 single-chip ceiling: the O(1)-memory adjoint keeps
 # two states live (plane pairs) and 30q f32 would need 2 x 8 GB > 15.75 GB
 # HBM. 30q runs under "mixed" storage (see module doc) as a separate line.
@@ -161,6 +167,7 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
             "executed_passes_est": exec_passes,
             "achieved_GBps": achieved_gbps,
             "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
+            "achieved_of_copy_ceiling": achieved_gbps / COPY_GBPS,
             "achieved_source": "schedule_estimate",
             "segmented_chunk": SEG_CHUNK or None,
             "est_layer_bytes": est_layer_bytes,

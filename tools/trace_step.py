@@ -15,13 +15,19 @@ is a pure hardware measurement.
 
 Usage:  python tools/trace_step.py [n=26] [reps=20] [layers=0]
         (layers > 0 additionally traces a full n x layers step)
+        python tools/trace_step.py parse [logdir]   # re-parse an existing
+        trace without touching the device
 """
 
 import glob
-import json
 import os
 import sys
 import time
+
+# the baked tensorboard_plugin_profile ships _pb2 files older than the
+# installed C++ protobuf runtime accepts; the pure-python parser is slow
+# but version-tolerant, and trace parsing is a one-shot offline step
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 import jax
 import jax.numpy as jnp
@@ -35,62 +41,69 @@ HBM_GBPS = 819.0
 def _fetch(x):
     leaves = jax.tree_util.tree_leaves(x)
     jax.block_until_ready(leaves)
-    float(jnp.sum(leaves[0][(0,) * (leaves[0].ndim - 1)][:1]
-                  if leaves[0].ndim > 1 else leaves[0][:1]))
+    lead = leaves[0]
+    float(jnp.sum(lead[(0,) * (lead.ndim - 1)][:1] if lead.ndim > 1
+                  else lead[:1] if lead.ndim == 1 else lead))
 
 
 def parse_xplane(logdir):
-    """Return [(op_name, total_self_us, occurrences)] from the newest
-    xplane.pb under ``logdir``, via the tensorboard profile plugin's
-    converter (framework op stats table)."""
+    """Return [(op_name, total_device_us, occurrences)] from the newest
+    xplane.pb under ``logdir``, aggregated over the TPU device plane's
+    "XLA Ops" timeline. Parsed directly with the TSL xplane proto (the
+    tensorboard_plugin_profile converter in this image is broken twice
+    over: stale _pb2 files vs the C++ protobuf runtime, and a pywrap
+    converter symbol missing from the installed tensorflow). ``%while``
+    wrappers (scan loops) are dropped — their children are the kernels;
+    every remaining row is a leaf custom-call/fusion whose duration is
+    pure device execution time."""
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         raise RuntimeError(f"no xplane.pb under {logdir}")
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    import collections
 
-    for tool in ("framework_op_stats^", "tensorflow_stats^"):
-        try:
-            data = rtd.xspace_to_tool_data([paths[-1]], tool, {})
-            break
-        except Exception as e:
-            err = e
-    else:
-        raise RuntimeError(f"no op-stats tool worked: {err}")
-    if isinstance(data, tuple):
-        data = data[0]
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    # gviz JSON: two tables (device, host) separated; take rows with
-    # device placement. The converter emits a JSON array of tables or a
-    # single gviz string depending on version — handle both.
-    rows = []
-    try:
-        payload = json.loads(data)
-    except Exception:
-        # "gviz" JS string: find the embedded JSON rows crudely
-        payload = None
-    if payload is None:
-        return [("(unparsed — raw length %d)" % len(data), 0.0, 0)]
-    tables = payload if isinstance(payload, list) else [payload]
-    for tbl in tables:
-        cols = [c.get("label", c.get("id", "")) for c in tbl.get("cols", [])]
-        for r in tbl.get("rows", []):
-            vals = [c.get("v") for c in r.get("c", [])]
-            d = dict(zip(cols, vals))
-            name = d.get("Type") or d.get("Operation") or d.get("Op name")
-            total = (d.get("Total self-time (us)")
-                     or d.get("Total self time (us)")
-                     or d.get("total_self_time_us") or 0)
-            occ = d.get("#Occurrences") or d.get("Occurrences") or 0
-            host = d.get("Host/device") or d.get("Device")
-            if name and (host in (None, "Device", "device")):
-                rows.append((str(name), float(total or 0), int(occ or 0)))
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    tot = collections.Counter()
+    occ = collections.Counter()
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        md = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = md[ev.metadata_id].name.split(" = ")[0]
+                if name.startswith("%while"):
+                    continue
+                tot[name] += ev.duration_ps / 1e6
+                occ[name] += 1
+    rows = [(n, t, occ[n]) for n, t in tot.items()]
     rows.sort(key=lambda t: -t[1])
     return rows
 
 
+def print_rows(rows, moved):
+    print("\n| device op | total self us | n | us/occurrence | GB/s if dual |")
+    print("|---|---|---|---|---|")
+    for name, total, occ in rows[:15]:
+        per = total / occ if occ else 0.0
+        gbps = moved / (per * 1e-6) / 1e9 if per > 0 else 0.0
+        print(f"| {name[:60]} | {total:10.1f} | {occ} | {per:9.1f} "
+              f"| {gbps:7.1f} |")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "parse":
+        logdir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+            "DQC_TRACE_DIR", "/tmp/dqc_trace")
+        n = int(os.environ.get("DQC_TRACE_N", "26"))
+        moved = 4 * (1 << (n - 14)) * 128 * 128 * 4
+        print_rows(parse_xplane(logdir), moved)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     layers = int(sys.argv[3]) if len(sys.argv) > 3 else 0
@@ -137,14 +150,7 @@ def main():
               f"{wall / reps * 1e3:.2f} ms/pass wall, "
               f"{moved / (wall / reps) / 1e9:.1f} GB/s wall")
 
-    rows = parse_xplane(logdir)
-    print("\n| device op | total self us | n | us/occurrence | GB/s if dual |")
-    print("|---|---|---|---|---|")
-    for name, total, occ in rows[:15]:
-        per = total / occ if occ else 0.0
-        gbps = moved / (per * 1e-6) / 1e9 if per > 0 else 0.0
-        print(f"| {name[:60]} | {total:10.1f} | {occ} | {per:9.1f} "
-              f"| {gbps:7.1f} |")
+    print_rows(parse_xplane(logdir), moved)
 
 
 if __name__ == "__main__":
