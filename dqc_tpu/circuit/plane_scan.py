@@ -939,13 +939,24 @@ def _apply_forward(xr, xi, program, ftape, var_gates, const_gates):
                 fi.positions, ftape.n, alias=True)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
-            xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El),
-                                         ftape.n, interpret=_interpret())
+            xr, xi = _apply_hpair(xr, xi, El, Et, ftape.n)
         else:
             assert item[0] == "dense", item
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
                                        var_gates, const_gates)
     return xr, xi
+
+
+def _apply_hpair(xr, xi, El, Et, n):
+    """Forward of a merged (top, top-1) dense sweep: Kronecker-factorized
+    kernel by default (the merged operator is always ``kron(Et, El)``, so
+    expanding it costs ~Xt x more MXU work), expanded merged sweep under
+    ``config.set_hpair_factorized(False)``."""
+    if config.hpair_factorized():
+        return pl.apply_merged_top_fact(xr, xi, Et, El, n,
+                                        interpret=_interpret())
+    return pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El), n,
+                               interpret=_interpret())
 
 
 def _backward_program(fxr, fxi, bxr, bxi, program, ftape, var_gates,
@@ -1013,6 +1024,25 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
     fi_top = ftape.instructions[item[2]]
     El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
     Eli, Eti = _hpair_ops(item, ftape, var_gates, const_gates, inverse=True)
+    if config.hpair_factorized():
+        # factorized kernel: the T0_top/T0_low restrictions come out of the
+        # kernel directly (in-kernel narrow grams against the uncompute's
+        # own intermediates), never materializing the (Xt*Xl)^2 merged gram
+        fxr, fxi, bxr, bxi, T0_top, T0_low = pl.backward_merged_top_fact(
+            fxr, fxi, bxr, bxi, Et, El, Eti, Eli, n, interpret=_interpret())
+        if fi_top.has_var:
+            ops = _block_ops(fi_top, var_gates, const_gates,
+                             sizes[fi_top.group], C64)
+            dense_block_var_cts(fi_top, ops, T0_top.astype(C64), var_gates,
+                                const_gates, sizes[fi_top.group], C64,
+                                var_cts)
+        if fi_low.has_var:
+            ops = _block_ops(fi_low, var_gates, const_gates,
+                             sizes[fi_low.group], C64)
+            dense_block_var_cts(fi_low, ops, T0_low.astype(C64), var_gates,
+                                const_gates, sizes[fi_low.group], C64,
+                                var_cts)
+        return fxr, fxi, bxr, bxi
     fxr, fxi, bxr, bxi, T0m = pl.backward_merged_top(
         fxr, fxi, bxr, bxi, pl.kron_ops(Eti, Eli), pl.kron_ops(Et, El), n,
         interpret=_interpret())
@@ -2047,8 +2077,7 @@ def _plane_run_diff(ftape: FusedTape, state, var_gates, const_gates,
                 fi.positions, n, alias=True)
         elif item[0] == "hpair":
             El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
-            xr, xi = pl.apply_merged_top(xr, xi, pl.kron_ops(Et, El), n,
-                                         interpret=_interpret())
+            xr, xi = _apply_hpair(xr, xi, El, Et, n)
         else:
             xr, xi = _apply_dense_item(xr, xi, item[1], item[2], ftape,
                                        var_gates, const_gates)

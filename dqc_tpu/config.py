@@ -101,6 +101,23 @@ def kernel_dot_mode() -> str:
     return _KERNEL_DOT_MODE
 
 
+# Kronecker-factorized merged-top (hpair) kernels: the merged (top, top-1)
+# operator is always kron(E_top, E_low); the factorized kernels run the low
+# factor as Xl-wide MXU contractions and the tiny top factor on the VPU —
+# ~Xt x less MXU work per element than the expanded (Xt*Xl)-wide sweep (the
+# slowest kernel of the 29q/30q flagship step). Off = round-3 merged path.
+_HPAIR_FACTORIZED = _os.environ.get("DQC_HPAIR_FACT", "1") != "0"
+
+
+def set_hpair_factorized(enabled: bool) -> None:
+    global _HPAIR_FACTORIZED
+    _HPAIR_FACTORIZED = bool(enabled)
+
+
+def hpair_factorized() -> bool:
+    return _HPAIR_FACTORIZED
+
+
 # Scan full-unroll threshold (effectively OFF by default). Full unroll was
 # the round-2 workaround for the 29q lax.scan carry double-buffering OOM;
 # after the memory diet (plane_std_scan_densities + merged-axis kernels +

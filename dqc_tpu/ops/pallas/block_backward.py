@@ -494,6 +494,204 @@ def block_backward_dual(fr, fi, br, bi,
     )(*args)
 
 
+def _top_combine(er_ref, ei_ref, vr, vi, *, transpose=False):
+    """Complex scalar combinations over the tiny top axis: per output slice
+    ``a``, ``y[a] = sum_b Et[a,b] v[b]`` (or Et^T with ``transpose``) as
+    exact-f32 VPU mult-adds on the per-slice slabs (no MXU)."""
+    x_top = len(vr)
+    yr, yi = [], []
+    for a in range(x_top):
+        ar = ai = None
+        for b in range(x_top):
+            er = er_ref[b, a] if transpose else er_ref[a, b]
+            ei = ei_ref[b, a] if transpose else ei_ref[a, b]
+            pr = er * vr[b] - ei * vi[b]
+            pi = er * vi[b] + ei * vr[b]
+            ar = pr if ar is None else ar + pr
+            ai = pi if ai is None else ai + pi
+        yr.append(ar)
+        yi.append(ai)
+    return yr, yi
+
+
+def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
+                      fr_ref, fi_ref, br_ref, bi_ref,
+                      li1, li2, li3, lt1, lt2, lt3,
+                      etir_ref, etii_ref, etr_ref, eti_ref,
+                      fir_ref, fii_ref, bnr_ref, bni_ref,
+                      ttr_ref, tti_ref, tlr_ref, tli_ref):
+    """Kronecker-factorized one-pass adjoint on the merged (top, low) axis.
+
+    The merged operator is ``Et (x) El`` (hpair items are always built this
+    way, plane_scan._backward_hpair), so instead of three (Xt*Xl)-wide
+    contractions producing the full merged pair-gram T0m, the kernel runs
+    ~3 Xl-wide contractions per element plus VPU top-factor combinations and
+    emits the two RESTRICTIONS the gradient extraction actually consumes:
+
+      T0_top[x,y] = sum_{c,d} bwd[(x d),c] * fwdA[(y d),c]
+                    with fwdA = (Eti (x) I) fwd_out = (I (x) El) fwd_in
+      T0_low[x,y] = sum_{c,e} bwd[(e x),c] * fwdB[(e y),c]
+                    with fwdB = (I (x) Eli) fwd_out = (Et (x) I) fwd_in
+
+    (the exact identities plane_scan._backward_hpair previously applied to
+    T0m host-side). MXU MACs per element drop from 3*(Xt*Xl) to ~3*Xl+O(Xt)
+    — ~Xt x less; at 30q (Xt=4, Xl=128) the merged backward was the
+    slowest kernel of the flagship step (BENCHMARKS.md m_blk sweep)."""
+    dot = make_dot(dot_mode)
+    bdot = make_dot(bwd_dot_mode)
+    m_blk = fr_ref.shape[2]
+    mc = m_blk // n_chunks
+    tt_r = jnp.zeros(ttr_ref.shape, F32)
+    tt_i = jnp.zeros(tti_ref.shape, F32)
+    tl_r = jnp.zeros(tlr_ref.shape, F32)
+    tl_i = jnp.zeros(tli_ref.shape, F32)
+
+    for c in range(n_chunks):
+        sl = slice(c * mc, (c + 1) * mc)
+        K = mc * 128
+        f3r = fr_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
+        f3i = fi_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
+        b3r = br_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
+        b3i = bi_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
+        fr_l = [f3r[a] for a in range(x_top)]
+        fi_l = [f3i[a] for a in range(x_top)]
+        br_l = [b3r[a] for a in range(x_top)]
+        bi_l = [b3i[a] for a in range(x_top)]
+
+        # fwdA = (Eti (x) I) fwd_out — VPU top combos on the raw planes
+        fAr, fAi = _top_combine(etir_ref, etii_ref, fr_l, fi_l)
+        # T0_top: (Xt, Xl*K) gram of bwd against fwdA (Karatsuba)
+        b2r = b3r.reshape(x_top, x_low * K)
+        b2i = b3i.reshape(x_top, x_low * K)
+        a2r = jnp.stack(fAr).reshape(x_top, x_low * K)
+        a2i = jnp.stack(fAi).reshape(x_top, x_low * K)
+        p1 = bdot(b2r, a2r.T)
+        p2 = bdot(b2i, a2i.T)
+        p3 = bdot(b2r + b2i, (a2r + a2i).T)
+        tt_r += p1 - p2
+        tt_i += p3 - p1 - p2
+
+        # fwdB = (I (x) Eli) fwd_out — per-slice Xl-wide Karatsuba matmuls
+        fBr, fBi = [], []
+        for a in range(x_top):
+            t1 = dot(li1[:], fr_l[a] + fi_l[a])
+            t2 = dot(li2[:], fi_l[a])
+            t3 = dot(li3[:], fr_l[a])
+            fBr.append(t1 - t2)
+            fBi.append(t1 + t3)
+            # T0_low partial: per-slice (Xl, K) gram of bwd against fwdB
+            q1 = bdot(br_l[a], fBr[a].T)
+            q2 = bdot(bi_l[a], fBi[a].T)
+            q3 = bdot(br_l[a] + bi_l[a], (fBr[a] + fBi[a]).T)
+            tl_r += q1 - q2
+            tl_i += q3 - q1 - q2
+
+        # fwd_in = (Eti (x) I) fwdB — VPU top combos complete the uncompute
+        fnr, fni = _top_combine(etir_ref, etii_ref, fBr, fBi)
+        ch3 = (x_top * x_low, mc, 128)
+        fir_ref[0, :, sl, :] = jnp.stack(fnr).reshape(ch3).astype(fir_ref.dtype)
+        fii_ref[0, :, sl, :] = jnp.stack(fni).reshape(ch3).astype(fii_ref.dtype)
+
+        # transport: bwd_out = (Et^T (x) El^T) bwd
+        blr, bli = [], []
+        for a in range(x_top):
+            sb = br_l[a] + bi_l[a]
+            v1 = bdot(lt1[:], sb)
+            v2 = bdot(lt2[:], bi_l[a])
+            v3 = bdot(lt3[:], br_l[a])
+            blr.append(v1 - v2)
+            bli.append(v1 + v3)
+        bor, boi = _top_combine(etr_ref, eti_ref, blr, bli, transpose=True)
+        bnr_ref[0, :, sl, :] = jnp.stack(bor).reshape(ch3).astype(bnr_ref.dtype)
+        bni_ref[0, :, sl, :] = jnp.stack(boi).reshape(ch3).astype(bni_ref.dtype)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        ttr_ref[:] = jnp.zeros_like(ttr_ref)
+        tti_ref[:] = jnp.zeros_like(tti_ref)
+        tlr_ref[:] = jnp.zeros_like(tlr_ref)
+        tli_ref[:] = jnp.zeros_like(tli_ref)
+
+    ttr_ref[:] += tt_r
+    tti_ref[:] += tt_i
+    tlr_ref[:] += tl_r
+    tli_ref[:] += tl_i
+
+
+@functools.partial(jax.jit, static_argnames=("x_top", "m_blk", "dot_mode",
+                                             "bwd_dot_mode", "interpret"))
+def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
+                               etinv_r, etinv_i, et_r, et_i, *, x_top: int,
+                               m_blk: int = None, dot_mode: str = "f32",
+                               bwd_dot_mode: str = None,
+                               interpret: bool = False):
+    """One-pass adjoint on the merged (top, low) view ``(A1, Xt*Xl, M, 128)``
+    for a Kronecker-factorized operator ``Et (x) El`` (see
+    ``_kernel_mtop_fact``). Returns ``(f_in planes, bwd_out planes,
+    T0_top_r, T0_top_i, T0_low_r, T0_low_i)`` — the per-factor pair-gram
+    restrictions, NOT the (Xt*Xl)^2 merged gram."""
+    assert fr.ndim == 4 and fr.shape[-1] == 128
+    A1, XX, M, _ = fr.shape
+    Xl = el_r.shape[0]
+    assert XX == x_top * Xl, (XX, x_top, Xl)
+    if m_blk is None:
+        m_blk = 16 if (XX >= 512 and M % 16 == 0) else 8
+    if (jnp.dtype(fr.dtype) == jnp.bfloat16
+            or jnp.dtype(br.dtype) == jnp.bfloat16):
+        m_blk = max(m_blk, 16)
+    if M % m_blk:
+        m_blk = M
+    slab = XX * m_blk * 128 * 4
+    n_chunks = 1
+    while (slab // n_chunks > 1024 * 1024 and n_chunks < m_blk
+           and m_blk % (n_chunks * 2) == 0):
+        n_chunks *= 2
+    io_bytes = sum(2 * XX * m_blk * 128 * jnp.dtype(d).itemsize
+                   for d in (fr.dtype, fr.dtype, br.dtype, br.dtype))
+    # +8 MiB headroom: the stack model under-counted the measured scoped
+    # demand by ~1.1 MiB at XX=512/m_blk=16 (82.07M vs an 81M limit -> OOM)
+    est = (2 * io_bytes + 16 * (slab // n_chunks) + 16 * Xl * Xl * 4
+           + 8 * 1024 * 1024)
+    if "bf16x3" in (dot_mode, bwd_dot_mode):
+        # hi/lo bf16 operand splits add slab-scale intermediates Mosaic
+        # cannot always fold into the f32 stack slots: measured scoped
+        # demand 106.7e6 at XX=512/m_blk=16 all-f32 planes vs 85e6
+        # estimated (the f32/f32 variant compiled at the same shape)
+        est += 8 * slab
+    vmem_limit = min(110 * 1024 * 1024, max(64 * 1024 * 1024, est))
+    li = elinv_r, elinv_r + elinv_i, elinv_i - elinv_r
+    lt = el_r.T, (el_r + el_i).T, (el_i - el_r).T
+    kern = functools.partial(_kernel_mtop_fact, x_top, Xl, n_chunks,
+                             dot_mode, bwd_dot_mode or dot_mode)
+    fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
+    bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
+    t_top = jax.ShapeDtypeStruct((x_top, x_top), F32)
+    t_low = jax.ShapeDtypeStruct((Xl, Xl), F32)
+    blk = (1, XX, m_blk, 128)
+    big = pl.BlockSpec(blk, cm.blk4, memory_space=pltpu.VMEM)
+    lsp = pl.BlockSpec((Xl, Xl), cm.fixed2, memory_space=pltpu.VMEM)
+    # explicit shape + x64-proof index map (a bare memory_space-only spec
+    # auto-generates python-int-zero index maps -> i64 under x64, which
+    # Mosaic fails to legalize)
+    ssp = pl.BlockSpec((x_top, x_top), cm.fixed2, memory_space=pltpu.SMEM)
+    tts = pl.BlockSpec((x_top, x_top), cm.fixed2, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=(fbig, fbig, bbig, bbig, t_top, t_top, t_low, t_low),
+        grid=(A1, M // m_blk),
+        in_specs=[big] * 4 + [lsp] * 6 + [ssp] * 4,
+        out_specs=(big, big, big, big, tts, tts, lsp, lsp),
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(vmem_limit),
+        ),
+        interpret=interpret,
+    )(fr, fi, br, bi, *li, *lt, etinv_r, etinv_i, et_r, et_i)
+
+
 def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
                  has_diag, diag_first_fwd, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,

@@ -145,6 +145,89 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         interpret=interpret,
     )(*args)
 
+def _kernel_fact(x_top, x_low, dot_mode, xr_ref, xi_ref,
+                 l1, l2, l3, etr_ref, eti_ref, yr_ref, yi_ref):
+    """Kronecker-factorized merged-top apply: ``y = (Et (x) El) x`` on the
+    merged (top, low) axis WITHOUT expanding the (Xt*Xl)^2 operator — the
+    low factor is Xt per-slice (Xl-wide) Karatsuba matmuls, the top factor
+    is Xt^2 complex scalar combinations on the VPU (exact f32 mult-adds;
+    f32-HIGHEST would emulate them with 6 bf16 MXU passes). MXU work per
+    element drops from 3*(Xt*Xl) to ~3*Xl MACs — ~Xt x less (measured
+    motivation: the 30q merged-top X=512 sweep is deeply MXU-bound,
+    BENCHMARKS.md m_blk sweep)."""
+    dot = make_dot(dot_mode)
+    x3r = xr_ref[0].astype(F32)
+    x3i = xi_ref[0].astype(F32)
+    K = x3r.shape[1] * x3r.shape[2]
+    xr = x3r.reshape(x_top, x_low, K)
+    xi = x3i.reshape(x_top, x_low, K)
+    vr, vi = [], []
+    for a in range(x_top):
+        t1 = dot(l1[:], xr[a] + xi[a])
+        t2 = dot(l2[:], xi[a])
+        t3 = dot(l3[:], xr[a])
+        vr.append(t1 - t2)
+        vi.append(t1 + t3)
+    yr, yi = [], []
+    for a in range(x_top):
+        accr = acci = None
+        for b in range(x_top):
+            er = etr_ref[a, b]
+            ei = eti_ref[a, b]
+            pr = er * vr[b] - ei * vi[b]
+            pi = er * vi[b] + ei * vr[b]
+            accr = pr if accr is None else accr + pr
+            acci = pi if acci is None else acci + pi
+        yr.append(accr)
+        yi.append(acci)
+    sh = yr_ref.shape[1:]
+    yr_ref[0] = jnp.stack(yr).reshape(sh).astype(yr_ref.dtype)
+    yi_ref[0] = jnp.stack(yi).reshape(sh).astype(yi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("x_top", "m_blk", "dot_mode",
+                                             "alias", "interpret"))
+def merged_fact_apply_planes(xr, xi, el_r, el_i, et_r, et_i, *, x_top: int,
+                             m_blk: int = 8, dot_mode: str = "f32",
+                             alias: bool = True, interpret: bool = False):
+    """Apply ``Et (x) El`` to the merged axis of plane view
+    ``(A1, Xt*Xl, M, 128) x 2`` in one HBM pass, Kronecker-factorized
+    (see ``_kernel_fact``). ``el_*``: (Xl, Xl) f32 planes of the low
+    factor; ``et_*``: (Xt, Xt) f32 planes of the top factor (SMEM
+    scalars)."""
+    assert xr.ndim == 4 and xr.shape[-1] == 128
+    A1, XX, M, _ = xr.shape
+    Xl = el_r.shape[0]
+    assert XX == x_top * Xl, (XX, x_top, Xl)
+    if jnp.dtype(xr.dtype) == jnp.bfloat16:
+        m_blk = max(m_blk, 16)
+    if M % m_blk:
+        m_blk = M
+    l1, l2, l3 = el_r, el_r + el_i, el_i - el_r
+    kern = functools.partial(_kernel_fact, x_top, Xl, dot_mode)
+    blk = (1, XX, m_blk, 128)
+    big = pl.BlockSpec(blk, cm.blk4, memory_space=pltpu.VMEM)
+    lsp = pl.BlockSpec((Xl, Xl), cm.fixed2, memory_space=pltpu.VMEM)
+    # explicit shape + x64-proof index map: a bare memory_space-only spec
+    # auto-generates an index map returning python-int zeros, which trace
+    # as i64 under jax_enable_x64 and Mosaic fails to legalize its return
+    tsp = pl.BlockSpec((x_top, x_top), cm.fixed2, memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(xr.shape, xr.dtype),
+                   jax.ShapeDtypeStruct(xr.shape, xr.dtype)),
+        grid=(A1, M // m_blk),
+        in_specs=[big, big, lsp, lsp, lsp, tsp, tsp],
+        out_specs=(big, big),
+        input_output_aliases={0: 0, 1: 1} if alias else {},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xr, xi, l1, l2, l3, et_r, et_i)
+
+
 def _kernel_multi(x_dim, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
                   e1, e2, e3, k1, k2, k3, *rest):
     """Sum-of-terms high+lane sweep: ``y = sum_t (E_t on the X axis) x

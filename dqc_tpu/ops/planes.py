@@ -43,10 +43,12 @@ from dqc_tpu.ops.pallas.dual_apply import (
 from dqc_tpu.ops.pallas.high_apply import (
     high_group_apply_planes,
     high_multi_apply_planes,
+    merged_fact_apply_planes,
 )
 from dqc_tpu.ops.pallas.block_backward import (
     block_backward_high,
     block_backward_lane,
+    block_backward_merged_fact,
     block_backward_sublane,
 )
 from dqc_tpu.ops.pallas.diag import diag_backward_planes, diag_sweep_planes
@@ -203,6 +205,50 @@ def apply_merged_top(xr, xi, E_m, n: int, *, alias: bool = True,
                                      alias=alias, conj=conj, acc=acc,
                                      out_dtype=out_dtype, interpret=interpret)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def apply_merged_top_fact(xr, xi, Et, El, n: int, *, alias: bool = True,
+                          interpret: bool = False):
+    """Apply ``Et (x) El`` on the merged (top, top-1) axis in one pass
+    WITHOUT expanding the Kronecker product — the low factor runs Xl-wide
+    MXU contractions, the tiny top factor runs as VPU scalar combinations
+    (high_apply.merged_fact_apply_planes). MXU work per element is ~Xt x
+    less than ``apply_merged_top`` on ``kron(Et, El)``."""
+    dims = gr.group_dims(n)
+    jtop = len(dims) - 1
+    pre, X, Xl, M = _merged_view(n, jtop)
+    el_r, el_i = op_planes(El)
+    et_r, et_i = op_planes(Et)
+    vxr = xr.reshape(pre, X * Xl, M, 128)
+    vxi = xi.reshape(pre, X * Xl, M, 128)
+    yr, yi = merged_fact_apply_planes(vxr, vxi, el_r, el_i, et_r, et_i,
+                                      x_top=X, dot_mode=config.kernel_dot_mode(),
+                                      alias=alias, interpret=interpret)
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def backward_merged_top_fact(fxr, fxi, bxr, bxi, Et, El, Eti, Eli, n: int,
+                             *, interpret: bool = False):
+    """Factorized one-pass adjoint on the merged (top, top-1) axis; returns
+    the planes plus the complex ``(T0_top, T0_low)`` pair-gram restrictions
+    (see block_backward_merged_fact) instead of the (Xt*Xl)^2 merged gram."""
+    dims = gr.group_dims(n)
+    jtop = len(dims) - 1
+    pre, X, Xl, M = _merged_view(n, jtop)
+    shape4 = (pre, X * Xl, M, 128)
+    eli_r, eli_i = op_planes(Eli)
+    el_r, el_i = op_planes(El)
+    eti_r, eti_i = op_planes(Eti)
+    et_r, et_i = op_planes(Et)
+    fr, fi, br, bi, ttr, tti, tlr, tli = block_backward_merged_fact(
+        fxr.reshape(shape4), fxi.reshape(shape4),
+        bxr.reshape(shape4), bxi.reshape(shape4),
+        eli_r, eli_i, el_r, el_i, eti_r, eti_i, et_r, et_i, x_top=X,
+        dot_mode=config.kernel_dot_mode(),
+        bwd_dot_mode=config.bwd_kernel_dot_mode(), interpret=interpret)
+    return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
+            br.reshape(fxr.shape), bi.reshape(fxr.shape),
+            ttr + 1j * tti, tlr + 1j * tli)
 
 
 def gram_merged_top(xr, xi, n: int, *, interpret: bool = False):

@@ -338,6 +338,69 @@ def test_merged_tiny_top_backward():
                                rtol=2e-4, atol=5e-3)
 
 
+@pytest.mark.parametrize("x_top", [2, 4])
+def test_merged_fact_kernels_match_expanded(x_top):
+    """Kronecker-factorized hpair kernels vs the expanded merged sweep on
+    synthetic plane shapes: forward apply, adjoint planes, and the
+    T0_top/T0_low pair-gram restrictions (the exact quantities
+    plane_scan._backward_hpair extracts from the merged gram T0m)."""
+    from dqc_tpu.ops.pallas.block_backward import (
+        block_backward_high, block_backward_merged_fact)
+    from dqc_tpu.ops.pallas.high_apply import (
+        high_group_apply_planes, merged_fact_apply_planes)
+
+    rng = np.random.default_rng(5 + x_top)
+    Xl, A1, M = 16, 2, 128
+    XX = x_top * Xl
+    Et = oracles.random_unitary(rng, x_top.bit_length() - 1)
+    El = oracles.random_unitary(rng, 4).astype(np.complex64)
+    Et = Et.astype(np.complex64)
+    Em = np.kron(Et, El)
+    Eti = np.linalg.inv(Et).astype(np.complex64)
+    Eli = np.linalg.inv(El).astype(np.complex64)
+    Emi = np.kron(Eti, Eli)
+
+    def planes(c):
+        return (jnp.asarray(np.ascontiguousarray(c.real).astype(np.float32)),
+                jnp.asarray(np.ascontiguousarray(c.imag).astype(np.float32)))
+
+    x = (rng.normal(size=(A1, XX, M, 128))
+         + 1j * rng.normal(size=(A1, XX, M, 128))).astype(np.complex64)
+    b = (rng.normal(size=(A1, XX, M, 128))
+         + 1j * rng.normal(size=(A1, XX, M, 128))).astype(np.complex64)
+    xr, xi = planes(x)
+    br, bi = planes(b)
+
+    yr1, yi1 = merged_fact_apply_planes(xr, xi, *planes(El), *planes(Et),
+                                        x_top=x_top, alias=False,
+                                        interpret=True)
+    yr2, yi2 = high_group_apply_planes(xr, xi, *planes(Em), alias=False,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(yr1), np.asarray(yr2),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yi1), np.asarray(yi2),
+                               rtol=1e-5, atol=2e-5)
+
+    f1 = block_backward_merged_fact(yr1, yi1, br, bi, *planes(Eli),
+                                    *planes(El), *planes(Eti), *planes(Et),
+                                    x_top=x_top, interpret=True)
+    f2 = block_backward_high(yr2, yi2, br, bi, *planes(Emi), *planes(Em),
+                             interpret=True)
+    for a, c in zip(f1[:4], f2[:4]):  # fwd_in / bwd_out planes
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=5e-5)
+    T0m = (np.asarray(f2[4]) + 1j * np.asarray(f2[5])).reshape(
+        x_top, Xl, x_top, Xl)
+    want_top = np.einsum("ab,xayb->xy", El, T0m)
+    want_low = np.einsum("ed,exdy->xy", Et, T0m)
+    got_top = np.asarray(f1[4]) + 1j * np.asarray(f1[5])
+    got_low = np.asarray(f1[6]) + 1j * np.asarray(f1[7])
+    np.testing.assert_allclose(got_top, want_top, rtol=2e-5,
+                               atol=2e-5 * np.abs(want_top).max())
+    np.testing.assert_allclose(got_low, want_low, rtol=2e-5,
+                               atol=2e-5 * np.abs(want_low).max())
+
+
 def test_apply_conj_acc_modes():
     """conj/acc kernel modes: acc' = acc + conj(E x), acc aliased in place,
     x preserved — the one-accumulator density-seed pattern."""

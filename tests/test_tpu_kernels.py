@@ -605,6 +605,79 @@ def test_ddual_after_kernel_on_hardware():
 
 
 @skip_no_tpu
+def test_merged_fact_kernels_on_hardware():
+    """Kronecker-factorized hpair kernels COMPILED on the chip at the real
+    30q merged shape (Xt=4, Xl=128 -> XX=512), vs the expanded merged
+    kernels on the same data: forward apply, adjoint planes, and the
+    T0_top/T0_low pair-gram restrictions (extracted in-jit from the
+    expanded kernel's (XX, XX) merged gram at HIGHEST). Mosaic constraints
+    differ from interpret mode (VPU scalar combos on per-slice slabs, SMEM
+    top-factor operands); this pins the lowering. Measured motivation:
+    tools/hpair_fact_bench.py — fwd 2.8x, bwd 1.7x over expanded at this
+    shape."""
+    from dqc_tpu.ops.pallas.block_backward import (
+        block_backward_high, block_backward_merged_fact)
+    from dqc_tpu.ops.pallas.high_apply import (
+        high_group_apply_planes, merged_fact_apply_planes)
+
+    rng = np.random.default_rng(11)
+    x_top, Xl, A1, M = 4, 128, 1, 16
+    XX = x_top * Xl
+    Et = np.linalg.qr(rng.normal(size=(x_top, x_top))
+                      + 1j * rng.normal(size=(x_top, x_top)))[0]
+    El = np.linalg.qr(rng.normal(size=(Xl, Xl))
+                      + 1j * rng.normal(size=(Xl, Xl)))[0]
+    Et, El = Et.astype(np.complex64), El.astype(np.complex64)
+    Em = np.kron(Et, El)
+    Eti = np.linalg.inv(Et).astype(np.complex64)
+    Eli = np.linalg.inv(El).astype(np.complex64)
+    Emi = np.kron(Eti, Eli)
+    hi = jax.lax.Precision.HIGHEST
+
+    def pl_np(c):
+        return (jnp.asarray(np.ascontiguousarray(c.real).astype(np.float32)),
+                jnp.asarray(np.ascontiguousarray(c.imag).astype(np.float32)))
+
+    el_p, et_p, em_p = pl_np(El), pl_np(Et), pl_np(Em)
+    eli_p, eti_p, emi_p = pl_np(Eli), pl_np(Eti), pl_np(Emi)
+
+    @jax.jit
+    def check():
+        shape = (A1, XX, M, 128)
+        xr, xi = _dev_planes(21, shape)
+        br, bi = _dev_planes(23, shape)
+        yr1, yi1 = merged_fact_apply_planes(xr, xi, *el_p, *et_p,
+                                            x_top=x_top, alias=False)
+        yr2, yi2 = high_group_apply_planes(xr, xi, *em_p, alias=False)
+        e_fwd = jnp.maximum(jnp.max(jnp.abs(yr1 - yr2)),
+                            jnp.max(jnp.abs(yi1 - yi2)))
+
+        f1 = block_backward_merged_fact(yr1, yi1, br, bi, *eli_p, *el_p,
+                                        *eti_p, *et_p, x_top=x_top)
+        f2 = block_backward_high(yr2, yi2, br, bi, *emi_p, *em_p)
+        e_pl = jnp.max(jnp.stack([jnp.max(jnp.abs(a - c))
+                                  for a, c in zip(f1[:4], f2[:4])]))
+        T0m = (f2[4] + 1j * f2[5]).reshape(x_top, Xl, x_top, Xl)
+        want_top = jnp.einsum("ab,xayb->xy", jnp.asarray(El), T0m,
+                              precision=hi)
+        want_low = jnp.einsum("ed,exdy->xy", jnp.asarray(Et), T0m,
+                              precision=hi)
+        got_top = f1[4] + 1j * f1[5]
+        got_low = f1[6] + 1j * f1[7]
+        e_top = (jnp.max(jnp.abs(got_top - want_top))
+                 / jnp.max(jnp.abs(want_top)))
+        e_low = (jnp.max(jnp.abs(got_low - want_low))
+                 / jnp.max(jnp.abs(want_low)))
+        return e_fwd, e_pl, e_top, e_low
+
+    e_fwd, e_pl, e_top, e_low = (float(e) for e in check())
+    assert e_fwd < 3e-5, e_fwd
+    assert e_pl < 1e-4, e_pl
+    assert e_top < 3e-5, e_top
+    assert e_low < 3e-5, e_low
+
+
+@skip_no_tpu
 def test_block_operator_composition_precision_on_hardware():
     """Composed block operators must be exact-f32 on the MXU.
 
