@@ -240,12 +240,22 @@ def backward_merged_top_fact(fxr, fxi, bxr, bxi, Et, El, Eti, Eli, n: int,
     el_r, el_i = op_planes(El)
     eti_r, eti_i = op_planes(Eti)
     et_r, et_i = op_planes(Et)
+    # bf16x3 is a measured LOSS in this kernel (tools/hpair_fact_bench.py,
+    # 30q shape Xt=4/Xl=128: 82.5 ms vs 49.1 ms f32) — the factorization has
+    # 12 dot sites that each re-split slab-scale operands into bf16 hi/lo
+    # pairs, and that VPU/VMEM traffic exceeds the saved MXU passes (unlike
+    # the 3-dot expanded kernel, where bf16x3 wins 1.75x). f32 dots are
+    # faster AND more accurate here, so the reduced-storage auto mode clamps
+    # to f32; an explicit benchmark can still pass bf16x3 to the kernel fn.
+    bwd_mode = config.bwd_kernel_dot_mode()
+    if bwd_mode == "bf16x3":
+        bwd_mode = "f32"
     fr, fi, br, bi, ttr, tti, tlr, tli = block_backward_merged_fact(
         fxr.reshape(shape4), fxi.reshape(shape4),
         bxr.reshape(shape4), bxi.reshape(shape4),
         eli_r, eli_i, el_r, el_i, eti_r, eti_i, et_r, et_i, x_top=X,
         dot_mode=config.kernel_dot_mode(),
-        bwd_dot_mode=config.bwd_kernel_dot_mode(), interpret=interpret)
+        bwd_dot_mode=bwd_mode, interpret=interpret)
     return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
             br.reshape(fxr.shape), bi.reshape(fxr.shape),
             ttr + 1j * tti, tlr + 1j * tli)
