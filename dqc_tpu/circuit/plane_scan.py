@@ -1024,7 +1024,13 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
     fi_top = ftape.instructions[item[2]]
     El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
     Eli, Eti = _hpair_ops(item, ftape, var_gates, const_gates, inverse=True)
-    if config.hpair_factorized():
+    # factorization only pays in the backward when the top factor is wide
+    # enough to amortize its 12 small-dot sites: measured at Xt=4 (30q
+    # shape) fact wins 1.73x, at Xt=2 (29q shape) it LOSES 0.63x (67.1 vs
+    # 42.3 ms f32) and the bf16x3 variant fails to compile — see
+    # BENCHMARKS.md "Kronecker-factorized hpair kernels". The forward
+    # factorization wins at both widths and stays unconditional.
+    if config.hpair_factorized() and (1 << sizes[fi_top.group]) >= 4:
         # factorized kernel: the T0_top/T0_low restrictions come out of the
         # kernel directly (in-kernel narrow grams against the uncompute's
         # own intermediates), never materializing the (Xt*Xl)^2 merged gram
