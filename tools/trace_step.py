@@ -14,7 +14,10 @@ pass are exact (2 read + 2 written f32 planes), so
 is a pure hardware measurement.
 
 Usage:  python tools/trace_step.py [n=26] [reps=20] [layers=0]
-        (layers > 0 additionally traces a full n x layers step)
+        (layers > 0 additionally traces a full n x layers step;
+         reps=0 skips the dual chain entirely — use for large n where
+         the chain's extra plane pairs would not fit HBM next to the
+         step's two statevectors)
         python tools/trace_step.py parse [logdir]   # re-parse an existing
         trace without touching the device
 """
@@ -34,6 +37,15 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# share bench.py's persistent compile cache: the 29q step takes minutes to
+# compile through the remote-compile tunnel, seconds to reload
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DQC_COMPILE_CACHE", "/tmp/dqc_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 HBM_GBPS = 819.0
 
@@ -109,48 +121,68 @@ def main():
     layers = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     logdir = os.environ.get("DQC_TRACE_DIR", "/tmp/dqc_trace")
 
-    from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
+    moved = 4 * (1 << (n - 14)) * 128 * 128 * 4
 
-    A = 1 << (n - 14)
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    mk = jax.jit(lambda k: jax.random.normal(k, (A, 128, 128), jnp.float32))
-    xr, xi = mk(ks[0]), mk(ks[1])
-    e = jax.jit(lambda k: jax.random.normal(
-        k, (128, 128, 4), jnp.float32) / 11.3)(ks[2])
-    el_r, el_i, em_r, em_i = (e[..., i] for i in range(4))
+    if reps > 0:
+        from dqc_tpu.ops.pallas.dual_apply import dual_group_apply_planes
 
-    def chain(a, b):
-        def body(_, c):
-            return dual_group_apply_planes(c[0], c[1], el_r, el_i, em_r,
-                                           em_i)
-        return jax.lax.fori_loop(0, reps, body, (a, b))
+        A = 1 << (n - 14)
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        mk = jax.jit(lambda k: jax.random.normal(k, (A, 128, 128),
+                                                 jnp.float32))
+        xr, xi = mk(ks[0]), mk(ks[1])
+        e = jax.jit(lambda k: jax.random.normal(
+            k, (128, 128, 4), jnp.float32) / 11.3)(ks[2])
+        el_r, el_i, em_r, em_i = (e[..., i] for i in range(4))
 
-    j = jax.jit(chain)
-    _fetch(j(xr, xi))  # compile + warm OUTSIDE the trace
-    moved = 4 * xr.size * 4
+        def chain(a, b):
+            def body(_, c):
+                return dual_group_apply_planes(c[0], c[1], el_r, el_i, em_r,
+                                               em_i)
+            return jax.lax.fori_loop(0, reps, body, (a, b))
 
-    jax.profiler.start_trace(logdir)
-    t0 = time.time()
-    out = j(xr, xi)
-    _fetch(out)
-    wall = time.time() - t0
+        j = jax.jit(chain)
+        _fetch(j(xr, xi))  # compile + warm OUTSIDE the trace
+
+    step = None
     if layers > 0:
         from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
+        storage = os.environ.get("DQC_TRACE_STORAGE", "f32")
+        if storage != "f32":
+            from dqc_tpu import config
+            config.set_state_storage(storage)
         model = HardwareEfficientAnsatz(n, layers, entangler="cz", scan=True)
         params = model.init_params(jax.random.PRNGKey(1))
         step = jax.jit(jax.value_and_grad(model.magnetization))
+        v, g = step(params)  # compile + warm OUTSIDE the trace
+        _fetch((v, g))
+
+    jax.profiler.start_trace(logdir)
+    if reps > 0:
+        t0 = time.time()
+        out = j(xr, xi)
+        _fetch(out)
+        wall = time.time() - t0
+    t1 = time.time()
+    if step is not None:
         v, g = step(params)
         _fetch((v, g))
-        jax.profiler.stop_trace()
-        print(f"# traced {reps} dual passes + one {n}q x {layers}L step")
-    else:
-        jax.profiler.stop_trace()
+        step_wall = time.time() - t1
+    jax.profiler.stop_trace()
+
+    if reps > 0:
         print(f"# traced {reps} dual passes; wall {wall:.3f}s -> "
               f"{wall / reps * 1e3:.2f} ms/pass wall, "
               f"{moved / (wall / reps) / 1e9:.1f} GB/s wall")
+    if step is not None:
+        print(f"# traced one {n}q x {layers}L fwd+grad step; "
+              f"wall {step_wall:.3f}s")
 
-    print_rows(parse_xplane(logdir), moved)
+    rows = parse_xplane(logdir)
+    dev_total_s = sum(t for _, t, _ in rows) / 1e6
+    print(f"# device busy (leaf ops, sum of self time): {dev_total_s:.3f}s")
+    print_rows(rows, moved)
 
 
 if __name__ == "__main__":
