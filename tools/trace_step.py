@@ -98,14 +98,17 @@ def parse_xplane(logdir):
     return rows
 
 
-def print_rows(rows, moved):
-    print("\n| device op | total self us | n | us/occurrence | GB/s if dual |")
-    print("|---|---|---|---|---|")
-    for name, total, occ in rows[:15]:
+def print_rows(rows, moved=None, top=15):
+    """``moved`` = bytes per dual pass; pass None (e.g. reps=0 runs, where
+    no dual chain was traced) to suppress the meaningless GB/s column."""
+    hdr = " | GB/s if dual |" if moved else " |"
+    print("\n| device op | total self us | n | us/occurrence" + hdr)
+    print("|---|---|---|---|" + ("---|" if moved else ""))
+    for name, total, occ in rows[:top]:
         per = total / occ if occ else 0.0
-        gbps = moved / (per * 1e-6) / 1e9 if per > 0 else 0.0
-        print(f"| {name[:60]} | {total:10.1f} | {occ} | {per:9.1f} "
-              f"| {gbps:7.1f} |")
+        tail = (f"| {moved / (per * 1e-6) / 1e9:7.1f} |"
+                if moved and per > 0 else "|")
+        print(f"| {name[:60]} | {total:10.1f} | {occ} | {per:9.1f} {tail}")
 
 
 def main():
@@ -114,11 +117,16 @@ def main():
             "DQC_TRACE_DIR", "/tmp/dqc_trace")
         n = int(os.environ.get("DQC_TRACE_N", "26"))
         moved = 4 * (1 << (n - 14)) * 128 * 128 * 4
-        print_rows(parse_xplane(logdir), moved)
+        print_rows(parse_xplane(logdir), moved,
+                   top=int(os.environ.get("DQC_TRACE_TOP", "15")))
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     layers = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    if reps == 0 and layers == 0:
+        raise SystemExit("nothing to trace: reps=0 skips the dual chain and "
+                         "layers=0 skips the step — set at least one "
+                         "(usage: trace_step.py [n] [reps] [layers])")
     logdir = os.environ.get("DQC_TRACE_DIR", "/tmp/dqc_trace")
 
     moved = 4 * (1 << (n - 14)) * 128 * 128 * 4
@@ -148,10 +156,11 @@ def main():
     if layers > 0:
         from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
+        # set unconditionally: an ambient DQC_STATE_STORAGE env var (read by
+        # config at import) must not override the tool's requested mode
         storage = os.environ.get("DQC_TRACE_STORAGE", "f32")
-        if storage != "f32":
-            from dqc_tpu import config
-            config.set_state_storage(storage)
+        from dqc_tpu import config
+        config.set_state_storage(storage)
         model = HardwareEfficientAnsatz(n, layers, entangler="cz", scan=True)
         params = model.init_params(jax.random.PRNGKey(1))
         step = jax.jit(jax.value_and_grad(model.magnetization))
@@ -182,7 +191,8 @@ def main():
     rows = parse_xplane(logdir)
     dev_total_s = sum(t for _, t, _ in rows) / 1e6
     print(f"# device busy (leaf ops, sum of self time): {dev_total_s:.3f}s")
-    print_rows(rows, moved)
+    print_rows(rows, moved if reps > 0 else None,
+               top=int(os.environ.get("DQC_TRACE_TOP", "15")))
 
 
 if __name__ == "__main__":
