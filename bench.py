@@ -76,6 +76,69 @@ def _fetch(v, g):
     return float(v)
 
 
+def _trace_summary(n_qubits: int, layers: int, storage: str):
+    """Committed hardware trace summary for this exact bench shape
+    (written by tools/trace_step.py via DQC_TRACE_JSON): per-base-op
+    device self times for one full fwd+grad step, captured with
+    jax.profiler on the real chip. When present, achieved bandwidth is
+    computed from the TRACE's measured kernel set — occurrence counts
+    and durations hardware-attributed, byte counts analytic (exact for
+    the plane kernels: full-state pair in + pair out per pass)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "traces", f"trace_{n_qubits}q_{layers}L_{storage}.json")
+    try:
+        with open(path) as f:
+            s = json.load(f)
+        if (s.get("n"), s.get("layers"), s.get("storage")) == \
+                (n_qubits, layers, storage):
+            s["path"] = os.path.relpath(path, os.path.dirname(path) or ".")
+            return s
+    except Exception:
+        pass
+    return None
+
+
+def _trace_achieved(summary, n_qubits: int, storage: str, dt: float):
+    """Distill a trace summary into achieved-bandwidth fields.
+
+    Byte model per kernel call (exact by construction of the kernels —
+    every plane kernel streams full-state plane pairs): forward sweeps
+    read+write one (r, i) pair; backward sweeps read+write BOTH the fwd
+    and bwd pairs in one fused pass. Under mixed/bf16 storage the bwd
+    pair is bf16 (half the bytes)."""
+    f32_pair = (1 << n_qubits) * 8          # r+i planes, 4 B each
+    bwd_pair = f32_pair // 2 if storage in ("mixed", "bf16") else f32_pair
+    fwd_bytes = 2 * f32_pair                # read pair + write pair
+    bwd_bytes = 2 * f32_pair + 2 * bwd_pair
+    kern_s = 0.0
+    kern_bytes = 0.0
+    per_kernel = {}
+    for name, us, occ in summary["ops"]:
+        base = name.lstrip("%")
+        if base.startswith(("block_backward", "diag_backward")):
+            b = bwd_bytes
+        elif base.startswith(("dual_group_apply", "high_group_apply",
+                              "merged_fact_apply", "diag_sweep")):
+            b = fwd_bytes
+        else:
+            continue
+        t_s = us / 1e6
+        kern_s += t_s
+        kern_bytes += b * occ
+        per_kernel[base] = round(b * occ / t_s / 1e9, 1)
+    busy = summary["device_busy_s"]
+    wall = summary["step_wall_s"]
+    return {
+        "achieved_GBps": kern_bytes / dt / 1e9,
+        "achieved_source": f"trace:{summary['path']}",
+        "trace_step_wall_s": round(wall, 3),
+        "trace_device_busy_frac": round(busy / wall, 4) if wall else None,
+        "trace_kernel_self_frac": round(kern_s / busy, 4) if busy else None,
+        "trace_kernel_bytes_per_step": kern_bytes,
+        "trace_per_kernel_GBps": per_kernel,
+    }
+
+
 def _cost_bytes(step, params):
     """XLA compiler-accounted bytes for one step: every pallas kernel is a
     custom call whose operand+result bytes are exactly its HBM traffic.
@@ -153,6 +216,13 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
         # reconciliation every run
         est_layer_bytes = (fwd_p + bwd_p) * bytes_per_sweep
         achieved_gbps = achieved_gbps_est
+        achieved_src = "schedule_estimate"
+        trace_fields = {}
+        summary = _trace_summary(n_qubits, layers, storage)
+        if summary is not None:
+            trace_fields = _trace_achieved(summary, n_qubits, storage, dt)
+            achieved_gbps = trace_fields.pop("achieved_GBps")
+            achieved_src = trace_fields.pop("achieved_source")
         return {
             "qubits": n_qubits,
             "layers": layers,
@@ -168,10 +238,12 @@ def run_bench(n_qubits: int, layers: int, storage: str = "f32"):
             "achieved_GBps": achieved_gbps,
             "achieved_sol_fraction": achieved_gbps / HBM_GBPS,
             "achieved_of_copy_ceiling": achieved_gbps / COPY_GBPS,
-            "achieved_source": "schedule_estimate",
+            "achieved_source": achieved_src,
+            "achieved_GBps_schedule_est": achieved_gbps_est,
             "segmented_chunk": SEG_CHUNK or None,
             "est_layer_bytes": est_layer_bytes,
             "xla_bytes_accessed_scan_body_once": xla_bytes,
+            **trace_fields,
         }
     finally:
         config.set_state_storage("f32")

@@ -98,6 +98,24 @@ def parse_xplane(logdir):
     return rows
 
 
+def aggregate_rows(rows):
+    """Collapse ``%reshape.7430``-style instances to their base op name.
+    XLA emits hundreds of distinct reshape/copy/fusion instructions per
+    program; the per-base rollup is what attribution needs."""
+    import collections
+    import re
+
+    tot = collections.Counter()
+    occ = collections.Counter()
+    for name, t, n in rows:
+        base = re.sub(r"\.\d+(\.clone)?$", "", name)
+        tot[base] += t
+        occ[base] += n
+    agg = [(b, t, occ[b]) for b, t in tot.items()]
+    agg.sort(key=lambda r: -r[1])
+    return agg
+
+
 def print_rows(rows, moved=None, top=15):
     """``moved`` = bytes per dual pass; pass None (e.g. reps=0 runs, where
     no dual chain was traced) to suppress the meaningless GB/s column."""
@@ -111,13 +129,35 @@ def print_rows(rows, moved=None, top=15):
         print(f"| {name[:60]} | {total:10.1f} | {occ} | {per:9.1f} {tail}")
 
 
+def write_summary(path, n, layers, reps, storage, step_wall_s, rows):
+    """Persist a machine-readable trace summary: per-base-op device self
+    time. Committed under traces/ this becomes bench.py's hardware-
+    attributed achieved-bandwidth source (achieved_source="trace")."""
+    import json
+
+    agg = aggregate_rows(rows)
+    dev_busy = sum(t for _, t, _ in rows) / 1e6
+    out = {
+        "n": n, "layers": layers, "reps": reps, "storage": storage,
+        "step_wall_s": step_wall_s, "device_busy_s": dev_busy,
+        "ops": [[b, round(t, 1), o] for b, t, o in agg[:60]],
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# summary written: {path}")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "parse":
         logdir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
             "DQC_TRACE_DIR", "/tmp/dqc_trace")
         n = int(os.environ.get("DQC_TRACE_N", "26"))
         moved = 4 * (1 << (n - 14)) * 128 * 128 * 4
-        print_rows(parse_xplane(logdir), moved,
+        rows = parse_xplane(logdir)
+        print_rows(rows, moved,
+                   top=int(os.environ.get("DQC_TRACE_TOP", "15")))
+        print("\n# aggregated by base op name:")
+        print_rows(aggregate_rows(rows), moved,
                    top=int(os.environ.get("DQC_TRACE_TOP", "15")))
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
@@ -193,6 +233,14 @@ def main():
     print(f"# device busy (leaf ops, sum of self time): {dev_total_s:.3f}s")
     print_rows(rows, moved if reps > 0 else None,
                top=int(os.environ.get("DQC_TRACE_TOP", "15")))
+    print("\n# aggregated by base op name:")
+    print_rows(aggregate_rows(rows), moved if reps > 0 else None,
+               top=int(os.environ.get("DQC_TRACE_TOP", "15")))
+    json_path = os.environ.get("DQC_TRACE_JSON")
+    if json_path and step is not None:
+        write_summary(json_path, n, layers, reps,
+                      os.environ.get("DQC_TRACE_STORAGE", "f32"),
+                      step_wall, rows)
 
 
 if __name__ == "__main__":
