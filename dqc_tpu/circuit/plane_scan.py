@@ -1024,13 +1024,13 @@ def _backward_hpair(fxr, fxi, bxr, bxi, item, ftape, var_gates, const_gates,
     fi_top = ftape.instructions[item[2]]
     El, Et = _hpair_ops(item, ftape, var_gates, const_gates)
     Eli, Eti = _hpair_ops(item, ftape, var_gates, const_gates, inverse=True)
-    # factorization only pays in the backward when the top factor is wide
-    # enough to amortize its 12 small-dot sites: measured at Xt=4 (30q
-    # shape) fact wins 1.73x, at Xt=2 (29q shape) it LOSES 0.63x (67.1 vs
-    # 42.3 ms f32) and the bf16x3 variant fails to compile — see
-    # BENCHMARKS.md "Kronecker-factorized hpair kernels". The forward
-    # factorization wins at both widths and stays unconditional.
-    if config.hpair_factorized() and (1 << sizes[fi_top.group]) >= 4:
+    # round 5: the factorized backward now wins at BOTH production widths —
+    # the round-4 Xt=2 loss was the T0_top pair-gram running as a
+    # (2, N)@(N, 2) MXU dot (4/16384 of the systolic array useful); with
+    # the VPU T0_top (block_backward.block_backward_merged_fact top_vpu)
+    # measured v5e M=2^12 slice: Xt=2 12.7 ms vs 20.9 expanded, Xt=4 37.5
+    # vs 49.2 r4-fact — see BENCHMARKS.md round 5.
+    if config.hpair_factorized():
         # factorized kernel: the T0_top/T0_low restrictions come out of the
         # kernel directly (in-kernel narrow grams against the uncompute's
         # own intermediates), never materializing the (Xt*Xl)^2 merged gram

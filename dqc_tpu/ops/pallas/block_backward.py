@@ -515,6 +515,7 @@ def _top_combine(er_ref, ei_ref, vr, vi, *, transpose=False):
 
 
 def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
+                      top_vpu,
                       fr_ref, fi_ref, br_ref, bi_ref,
                       li1, li2, li3, lt1, lt2, lt3,
                       etir_ref, etii_ref, etr_ref, eti_ref,
@@ -560,16 +561,35 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
 
         # fwdA = (Eti (x) I) fwd_out — VPU top combos on the raw planes
         fAr, fAi = _top_combine(etir_ref, etii_ref, fr_l, fi_l)
-        # T0_top: (Xt, Xl*K) gram of bwd against fwdA (Karatsuba)
-        b2r = b3r.reshape(x_top, x_low * K)
-        b2i = b3i.reshape(x_top, x_low * K)
-        a2r = jnp.stack(fAr).reshape(x_top, x_low * K)
-        a2i = jnp.stack(fAi).reshape(x_top, x_low * K)
-        p1 = bdot(b2r, a2r.T)
-        p2 = bdot(b2i, a2i.T)
-        p3 = bdot(b2r + b2i, (a2r + a2i).T)
-        tt_r += p1 - p2
-        tt_i += p3 - p1 - p2
+        if top_vpu:
+            # T0_top via VPU elementwise Karatsuba + full reductions: an
+            # (Xt, N)@(N, Xt) MXU gram computes an Xt x Xt output tile with
+            # 4/16384 of the systolic array doing useful work — at Xt=2 the
+            # three such dots cost as much as a full 128-wide contraction
+            # (the round-4 "fact loses at Xt=2" measurement). Xt^2 x 3
+            # mul-reduce sweeps over the VMEM-resident slabs instead.
+            ii = jax.lax.broadcasted_iota(jnp.int32, (x_top, x_top), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (x_top, x_top), 1)
+            for x in range(x_top):
+                sbx = br_l[x] + bi_l[x]
+                for y in range(x_top):
+                    p1 = jnp.sum(br_l[x] * fAr[y])
+                    p2 = jnp.sum(bi_l[x] * fAi[y])
+                    p3 = jnp.sum(sbx * (fAr[y] + fAi[y]))
+                    m = jnp.where((ii == x) & (jj == y), 1.0, 0.0).astype(F32)
+                    tt_r += (p1 - p2) * m
+                    tt_i += (p3 - p1 - p2) * m
+        else:
+            # T0_top: (Xt, Xl*K) gram of bwd against fwdA (Karatsuba)
+            b2r = b3r.reshape(x_top, x_low * K)
+            b2i = b3i.reshape(x_top, x_low * K)
+            a2r = jnp.stack(fAr).reshape(x_top, x_low * K)
+            a2i = jnp.stack(fAi).reshape(x_top, x_low * K)
+            p1 = bdot(b2r, a2r.T)
+            p2 = bdot(b2i, a2i.T)
+            p3 = bdot(b2r + b2i, (a2r + a2i).T)
+            tt_r += p1 - p2
+            tt_i += p3 - p1 - p2
 
         # fwdB = (I (x) Eli) fwd_out — per-slice Xl-wide Karatsuba matmuls
         fBr, fBi = [], []
@@ -621,11 +641,13 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
 
 
 @functools.partial(jax.jit, static_argnames=("x_top", "m_blk", "dot_mode",
-                                             "bwd_dot_mode", "interpret"))
+                                             "bwd_dot_mode", "top_vpu",
+                                             "interpret"))
 def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
                                etinv_r, etinv_i, et_r, et_i, *, x_top: int,
                                m_blk: int = None, dot_mode: str = "f32",
                                bwd_dot_mode: str = None,
+                               top_vpu: bool = None,
                                interpret: bool = False):
     """One-pass adjoint on the merged (top, low) view ``(A1, Xt*Xl, M, 128)``
     for a Kronecker-factorized operator ``Et (x) El`` (see
@@ -660,11 +682,22 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
         # demand 106.7e6 at XX=512/m_blk=16 all-f32 planes vs 85e6
         # estimated (the f32/f32 variant compiled at the same shape)
         est += 8 * slab
+    if top_vpu is None:
+        # measured on v5e at the M=2^12 slice (BENCHMARKS.md round 5):
+        # VPU T0_top wins 2.5x at Xt=2 (12.7 vs 32.0 ms) and 1.31x at Xt=4
+        # (37.5 vs 49.2) — the production widths (merged_top_tiny caps
+        # Xt < 8). Xt=8 compiles in neither variant (VMEM).
+        top_vpu = x_top <= 4
+    if top_vpu:
+        # the VPU pair-gram's elementwise products keep a few extra
+        # chunk-slab temporaries live (measured scoped demand 101.5M at
+        # XX=512/m_blk=16 vs the 89M MXU-gram estimate)
+        est += x_top * (slab // n_chunks) * 4
     vmem_limit = min(110 * 1024 * 1024, max(64 * 1024 * 1024, est))
     li = elinv_r, elinv_r + elinv_i, elinv_i - elinv_r
     lt = el_r.T, (el_r + el_i).T, (el_i - el_r).T
     kern = functools.partial(_kernel_mtop_fact, x_top, Xl, n_chunks,
-                             dot_mode, bwd_dot_mode or dot_mode)
+                             dot_mode, bwd_dot_mode or dot_mode, top_vpu)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     t_top = jax.ShapeDtypeStruct((x_top, x_top), F32)
