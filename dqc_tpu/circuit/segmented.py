@@ -103,13 +103,24 @@ def _slice_stacked(stacked, start: int, length: int):
     return tuple(g[start:start + length] for g in stacked)
 
 
+def _cfg_key():
+    """Trace-affecting runtime config, included in every jitted-piece cache
+    key: the pieces read config at TRACE time (plane dtypes, kernel dot
+    modes, hpair factorization), so flipping config between steps must miss
+    the cache — without this a storage-mode switch silently reused the
+    previous mode's compiled programs (caught by tools/mixed_seg_accuracy)."""
+    return (config.state_storage(), config.kernel_dot_mode(),
+            config.bwd_kernel_dot_mode(), config.hpair_factorized(),
+            str(config.matmul_precision()), config.plane_engine())
+
+
 # ---------------------------------------------------------------------------
 # Jitted pieces, cached per (ftape hash, program variant) so repeated steps
 # and repeated chunks of the same length reuse compilations.
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _fwd_chunk_fn(ftape: FusedTape, rotated: bool):
+def _fwd_chunk_fn(ftape: FusedTape, rotated: bool, ck=None):
     program = ps.plane_program(ftape)
     if rotated:
         rot = ps._rotatable_const_diag(program, ftape)
@@ -136,7 +147,7 @@ def _fwd_chunk_fn(ftape: FusedTape, rotated: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_chunk_fn(ftape: FusedTape, rotated: bool):
+def _bwd_chunk_fn(ftape: FusedTape, rotated: bool, ck=None):
     program = ps.plane_program(ftape)
     if rotated:
         rot = ps._rotatable_const_diag(program, ftape)
@@ -165,7 +176,7 @@ def _bwd_chunk_fn(ftape: FusedTape, rotated: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _head_fn(ftape: FusedTape, rotated: bool):
+def _head_fn(ftape: FusedTape, rotated: bool, ck=None):
     """Initial |0..0> planes; under rotation, also the first layer's
     pre-rotation program (all but its trailing const diag run)."""
     program = ps.plane_program(ftape)
@@ -188,7 +199,7 @@ def _head_fn(ftape: FusedTape, rotated: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _tail_fn(ftape: FusedTape):
+def _tail_fn(ftape: FusedTape, ck=None):
     """The rotation's trailing const diag run, applied once after the body."""
     program = ps.plane_program(ftape)
     rot = ps._rotatable_const_diag(program, ftape)
@@ -204,7 +215,7 @@ def _tail_fn(ftape: FusedTape):
 
 
 @functools.lru_cache(maxsize=None)
-def _epilogue_fn(epi_ftape: FusedTape):
+def _epilogue_fn(epi_ftape: FusedTape, ck=None):
     n = epi_ftape.n
 
     @jax.jit
@@ -215,7 +226,7 @@ def _epilogue_fn(epi_ftape: FusedTape):
 
 
 @functools.lru_cache(maxsize=None)
-def _seed_fn(ftape: FusedTape, epi_ftape: FusedTape, rotated: bool):
+def _seed_fn(ftape: FusedTape, epi_ftape: FusedTape, rotated: bool, ck=None):
     """Density-cotangent seeds ``(L + L^H) conj(psi)`` -> initial cotangent
     planes; under rotation, also uncomputes the trailing const diag run
     (the first backward item) so the chunks see rotated-body state."""
@@ -244,7 +255,7 @@ def _seed_fn(ftape: FusedTape, epi_ftape: FusedTape, rotated: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_head_fn(ftape: FusedTape):
+def _bwd_head_fn(ftape: FusedTape, ck=None):
     """Backward of the rotation head (the first layer minus its trailing
     diag run), producing the first layer's cotangents."""
     program = ps.plane_program(ftape)
@@ -301,25 +312,25 @@ def segmented_scan_value_and_grad(ftape: FusedTape, epi_ftape: FusedTape,
     sizes = chunk_sizes(body_L, max_chunk)
 
     # ---- forward: head, body chunks, (rotation tail) ----
-    xr, xi = _head_fn(ftape, rotated)(first, const_gates)
-    fwd = _fwd_chunk_fn(ftape, rotated)
+    xr, xi = _head_fn(ftape, rotated, _cfg_key())(first, const_gates)
+    fwd = _fwd_chunk_fn(ftape, rotated, _cfg_key())
     off = 0
     for c in sizes:
         xr, xi = fwd(xr, xi, _slice_stacked(body_gates, off, c), const_gates)
         off += c
     if rotated:
-        xr, xi = _tail_fn(ftape)(xr, xi, first, const_gates)
+        xr, xi = _tail_fn(ftape, _cfg_key())(xr, xi, first, const_gates)
 
     # ---- epilogue: densities -> value + density cotangents (tiny) ----
-    densities = _epilogue_fn(epi_ftape)(xr, xi)
+    densities = _epilogue_fn(epi_ftape, _cfg_key())(xr, xi)
     value, density_cts = _loss_cts_fn(loss_from_densities)(densities)
 
     # ---- seeds (+ rotation-tail uncompute) ----
-    fxr, fxi, bxr, bxi = _seed_fn(ftape, epi_ftape, rotated)(
+    fxr, fxi, bxr, bxi = _seed_fn(ftape, epi_ftape, rotated, _cfg_key())(
         xr, xi, density_cts, first, const_gates)
 
     # ---- backward: body chunks in reverse, then the rotation head ----
-    bwd = _bwd_chunk_fn(ftape, rotated)
+    bwd = _bwd_chunk_fn(ftape, rotated, _cfg_key())
     cts_chunks: List[Tuple[jax.Array, ...]] = []
     for c in reversed(sizes):
         off -= c
@@ -337,8 +348,8 @@ def segmented_scan_value_and_grad(ftape: FusedTape, epi_ftape: FusedTape,
         stacked_cts = tuple(g[:0] for g in stacked_var_gates)
 
     if rotated:
-        _, first_cts = _bwd_head_fn(ftape)(fxr, fxi, bxr, bxi, first,
-                                           const_gates)
+        _, first_cts = _bwd_head_fn(ftape, _cfg_key())(fxr, fxi, bxr, bxi, first,
+                                                       const_gates)
         stacked_cts = tuple(
             jnp.concatenate([c0[None], cs], axis=0)
             for c0, cs in zip(first_cts, stacked_cts))

@@ -605,23 +605,24 @@ def test_ddual_after_kernel_on_hardware():
 
 
 @skip_no_tpu
-def test_merged_fact_kernels_on_hardware():
+@pytest.mark.parametrize("x_top", [2, 4])
+def test_merged_fact_kernels_on_hardware(x_top):
     """Kronecker-factorized hpair kernels COMPILED on the chip at the real
-    30q merged shape (Xt=4, Xl=128 -> XX=512), vs the expanded merged
-    kernels on the same data: forward apply, adjoint planes, and the
-    T0_top/T0_low pair-gram restrictions (extracted in-jit from the
-    expanded kernel's (XX, XX) merged gram at HIGHEST). Mosaic constraints
-    differ from interpret mode (VPU scalar combos on per-slice slabs, SMEM
-    top-factor operands); this pins the lowering. Measured motivation:
-    tools/hpair_fact_bench.py — fwd 2.8x, bwd 1.7x over expanded at this
-    shape."""
+    merged shapes (Xt=2 the 29q shape, Xt=4 the 30q shape; Xl=128), vs the
+    expanded merged kernels on the same data: forward apply, adjoint
+    planes, and the T0_top/T0_low pair-gram restrictions (extracted in-jit
+    from the expanded kernel's (XX, XX) merged gram at HIGHEST). Mosaic
+    constraints differ from interpret mode (VPU scalar combos + VPU
+    pair-gram reductions on per-slice slabs, SMEM top-factor operands);
+    this pins the lowering. Measured motivation: tools/hpair_fact_bench.py
+    + BENCHMARKS.md round 5 — fwd 2.8x, bwd 1.3-1.6x over expanded."""
     from dqc_tpu.ops.pallas.block_backward import (
         block_backward_high, block_backward_merged_fact)
     from dqc_tpu.ops.pallas.high_apply import (
         high_group_apply_planes, merged_fact_apply_planes)
 
     rng = np.random.default_rng(11)
-    x_top, Xl, A1, M = 4, 128, 1, 16
+    Xl, A1, M = 128, 1, 16
     XX = x_top * Xl
     Et = np.linalg.qr(rng.normal(size=(x_top, x_top))
                       + 1j * rng.normal(size=(x_top, x_top)))[0]

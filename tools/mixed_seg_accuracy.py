@@ -67,10 +67,16 @@ def main():
 
     print("| storage | execution | value rel err | grad max rel | grad rms rel |")
     print("|---|---|---|---|---|")
+    from dqc_tpu.circuit import segmented
+
     for storage in ("f32", "mixed"):
         for seg in (False, True):
             config.set_plane_engine(True)
             config.set_state_storage(storage)
+            # the segmented driver caches jitted pieces per tape WITHOUT the
+            # storage mode in the key — flipping config requires a clear or
+            # the second storage mode silently reuses the first's programs
+            segmented.segmented_cache_clear()
             try:
                 t0 = time.time()
                 if seg:
