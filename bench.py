@@ -346,6 +346,18 @@ def main():
              ("qubits", "layers", "gates", "state_storage", "segmented_chunk",
               "sec_per_grad_step", "gates_per_sec")}
             if "error" not in detail30 else detail30)
+        if detail30.get("state_storage") in ("mixed", "f16"):
+            # measured gradient error of the reduced-cotangent-storage mode
+            # at the SHIPPING structure (depth 100, segmented chunks, cz
+            # hardware-efficient workload) vs a complex128 oracle —
+            # tools/mixed_seg_accuracy.py, table in BENCHMARKS.md round 5.
+            # The VALUE stays exact-f32 in these modes by construction.
+            err = {"mixed": {"grad_rms_rel": 7.0e-3, "grad_max_rel": 6.9e-2},
+                   "f16": {"grad_rms_rel": None, "grad_max_rel": None}}
+            headline["q30"]["measured_grad_err_vs_f64_oracle"] = dict(
+                err[detail30["state_storage"]],
+                source="tools/mixed_seg_accuracy.py 18q x depth-100 x "
+                       "chunk-25 (storage rounding is per-pass, flat in n)")
     print(json.dumps(headline))
     print(f"# detail: {json.dumps(result)}", file=sys.stderr)
     if detail30 is not None:

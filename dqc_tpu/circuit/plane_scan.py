@@ -823,25 +823,25 @@ def _apply_xcross(xr, xi, gate_m, positions, n: int, *, alias: bool = False):
     mi = m.imag.astype(jnp.float32)
     Sr, restore_r = gr.subblocks_with_restore(xr.reshape(dims), positions, n)
     Si, restore_i = gr.subblocks_with_restore(xi.reshape(dims), positions, n)
-    Sr, Si = Sr.astype(jnp.float32), Si.astype(jnp.float32)
+    Sr, Si = pl.plane_f32(Sr), pl.plane_f32(Si)
     prec = config.matmul_precision()
     t1 = jnp.matmul(mr + mi, Sr, precision=prec)
     t2 = jnp.matmul(mi, Sr + Si, precision=prec)
     t3 = jnp.matmul(mr, Si - Sr, precision=prec)
     Yr = t1 - t2
     Yi = t1 + t3
-    return (restore_r(Yr).reshape(xr.shape).astype(xr.dtype),
-            restore_i(Yi).reshape(xi.shape).astype(xi.dtype))
+    return (pl.plane_store(restore_r(Yr).reshape(xr.shape), xr.dtype),
+            pl.plane_store(restore_i(Yi).reshape(xi.shape), xi.dtype))
 
 
 def _plane_pair_grad(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
     """Dense cross-gate cotangent ``W[p, q] = sum_b bwd[p, b] fwd[q, b]``
     on planes (groups.pair_grad in real pairs, reference primitives.cu:219)."""
     dims = gr.group_dims(n)
-    Fr = gr.subblocks(fxr.reshape(dims), positions, n).astype(jnp.float32)
-    Fi = gr.subblocks(fxi.reshape(dims), positions, n).astype(jnp.float32)
-    Br = gr.subblocks(bxr.reshape(dims), positions, n).astype(jnp.float32)
-    Bi = gr.subblocks(bxi.reshape(dims), positions, n).astype(jnp.float32)
+    Fr = pl.plane_f32(gr.subblocks(fxr.reshape(dims), positions, n))
+    Fi = pl.plane_f32(gr.subblocks(fxi.reshape(dims), positions, n))
+    Br = pl.plane_f32(gr.subblocks(bxr.reshape(dims), positions, n))
+    Bi = pl.plane_f32(gr.subblocks(bxi.reshape(dims), positions, n))
     prec = config.matmul_precision()
     t1 = jnp.matmul(Br + Bi, Fr.T, precision=prec)
     t2 = jnp.matmul(Bi, (Fr + Fi).T, precision=prec)
@@ -1497,22 +1497,53 @@ def _bwd(ftape, residuals, ct):
     n = ftape.n
     program = plane_program(ftape)
     fxr, fxi = pl.to_planes(jnp.asarray(final), n, config.fwd_plane_dtype())
-    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), n,
-                            config.bwd_plane_dtype())
+    bxr, bxi = _ct_to_planes(ct, n)
     (fxr, fxi, bxr, bxi), stacked_cts = _scan_layers_backward(
         fxr, fxi, bxr, bxi, ftape, program, stacked_var_gates, const_gates)
     init_ref = jnp.asarray(initial_state)
-    state_ct = pl.from_planes(bxr, bxi, n).astype(init_ref.dtype)
+    state_ct = _state_ct_from_planes(bxr, bxi, n, init_ref.dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return state_ct, stacked_cts, const_cts
+
+
+def _ct_prescale():
+    """Power-of-2 prescale carried by the COTANGENT planes under "f16"
+    storage: f16 has only 5 exponent bits (min normal 6.1e-5) while deep
+    statevector cotangent elements sit at ~2^-n/2; scaling the seed by a
+    fixed 2^12 recentres them into f16's full-precision band. Grams,
+    transports and Q-reductions are all LINEAR in the cotangent, so one
+    division at each exit (gate cts, state ct) removes the scale exactly
+    (powers of two round nothing). None for every other storage mode."""
+    return 4096.0 if config.state_storage() == "f16" else None
 
 
 def _match_ct(ct, ref):
     ref = jnp.asarray(ref)
     ct = ct.reshape(ref.shape)
+    s = _ct_prescale()
+    if s is not None:
+        ct = ct * (1.0 / s)
     if jnp.issubdtype(ref.dtype, jnp.complexfloating):
         return ct.astype(ref.dtype)
     return ct.real.astype(ref.dtype)
+
+
+def _ct_to_planes(ct, n):
+    """State cotangent -> bwd planes, applying the f16 prescale."""
+    ct = jnp.asarray(ct).astype(C64)
+    s = _ct_prescale()
+    if s is not None:
+        ct = ct * s
+    return pl.to_planes(ct, n, config.bwd_plane_dtype())
+
+
+def _state_ct_from_planes(bxr, bxi, n, dtype):
+    """Bwd planes -> state cotangent, removing the f16 prescale."""
+    st = pl.from_planes(bxr, bxi, n)
+    s = _ct_prescale()
+    if s is not None:
+        st = st * (1.0 / s)
+    return st.astype(dtype)
 
 
 plane_scanned_layers.defvjp(_fwd, _bwd)
@@ -1565,6 +1596,9 @@ def _add_seed(pending: Dict, fi: FDensity, ct, n: int):
     sizes = gr.group_sizes_low_first(n)
     d = 1 << len(fi.positions)
     ct_m = jnp.asarray(ct).reshape(d, d).astype(C64)
+    s = _ct_prescale()
+    if s is not None:
+        ct_m = ct_m * s
     sym = ct_m + ct_m.conj().T
     groups = _density_groups(fi, n)
     if len(groups) == 1:
@@ -1689,9 +1723,11 @@ def _seed_apply(fxr, fxi, pending: Dict[int, jax.Array], n: int, interp,
                 yr, yi = _apply_xcross(fxr, fxi, jnp.conj(M), key, n)
                 if acc is None:
                     dt = seed_dt or yr.dtype
-                    bxr, bxi = yr.astype(dt), (-yi).astype(dt)
+                    bxr = pl.plane_store(pl.plane_f32(yr), dt)
+                    bxi = pl.plane_store(-pl.plane_f32(yi), dt)
                 else:
-                    bxr, bxi = (bxr + yr).astype(bxr.dtype), (bxi - yi).astype(bxi.dtype)
+                    bxr = pl.plane_store(pl.plane_f32(bxr) + yr, bxr.dtype)
+                    bxi = pl.plane_store(pl.plane_f32(bxi) - yi, bxi.dtype)
             continue
         bxr, bxi = pl.apply_block(fxr, fxi, jnp.conj(M), key, n, alias=False,
                                   conj=True, acc=acc, out_dtype=seed_dt,
@@ -1736,7 +1772,7 @@ def _epi_bwd(epi_ftape, residuals, density_cts):
     bxr, bxi = _seed_apply(xr, xi, pending, n, interp)
     if bxr is None:
         return (jnp.zeros((1 << n,), state_dtype),)
-    return (pl.from_planes(bxr, bxi, n).astype(state_dtype),)
+    return (_state_ct_from_planes(bxr, bxi, n, state_dtype),)
 
 
 plane_density_epilogue.defvjp(_epi_fwd, _epi_bwd)
@@ -1817,7 +1853,7 @@ def _psd_bwd(ftape, epi_ftape, residuals, density_cts):
     program = plane_program(ftape)
     (fxr, fxi, bxr, bxi), stacked_cts = _scan_layers_backward(
         fxr, fxi, bxr, bxi, ftape, program, stacked_var_gates, const_gates)
-    state_ct = pl.from_planes(bxr, bxi, n).astype(state_dtype)
+    state_ct = _state_ct_from_planes(bxr, bxi, n, state_dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return state_ct, stacked_cts, const_cts
 
@@ -2192,7 +2228,7 @@ def _pt_bwd(ftape, residuals, density_cts):
     if bxr is None:
         state_ct = jnp.zeros((1 << n,), state_dtype)
     else:
-        state_ct = pl.from_planes(bxr, bxi, n).astype(state_dtype)
+        state_ct = _state_ct_from_planes(bxr, bxi, n, state_dtype)
 
     out_var_cts = []
     for qidx, ref_gate in enumerate(var_gates):

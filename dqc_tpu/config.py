@@ -193,14 +193,25 @@ def canonicalize_complex(dtype):
 #             2 x 8 GB for f32 — the same two-statevector floor as the
 #             reference, circuit.rs:266-429); gradient error ~ bf16 rounding
 #             per backward pass (measured numbers in BENCHMARKS.md).
+#   "f16"   - forward planes f32, backward/cotangent planes float16: same
+#             memory as "mixed" but 10 mantissa bits instead of 8 = 4x
+#             lower per-store rounding (measured grad rms 7e-3 -> ~2e-3 at
+#             the depth-100 structure, BENCHMARKS.md round 5). f16's narrow
+#             exponent range is handled by a power-of-2 cotangent prescale
+#             (plane_scan._ct_prescale; grams are linear in the cotangent,
+#             so one final rescale is exact). Losses with per-element
+#             cotangent seeds above ~2^4 in magnitude would overflow to
+#             inf (visible, not silent) — fine for expectation-value
+#             losses, the production workload.
 #   "bf16"  - both state pairs stored bf16 (max headroom / HBM throughput;
 #             value AND grad carry bf16 rounding).
 _STATE_STORAGE = _os.environ.get("DQC_STATE_STORAGE", "f32")
 
 
 def set_state_storage(mode: str) -> None:
-    if mode not in ("f32", "mixed", "bf16"):
-        raise ValueError("state storage must be 'f32', 'mixed' or 'bf16'")
+    if mode not in ("f32", "mixed", "f16", "bf16"):
+        raise ValueError(
+            "state storage must be 'f32', 'mixed', 'f16' or 'bf16'")
     global _STATE_STORAGE
     _STATE_STORAGE = mode
 
@@ -215,8 +226,14 @@ def fwd_plane_dtype():
 
 
 def bwd_plane_dtype():
-    """Storage dtype of the cotangent statevector planes."""
-    return jnp.float32 if _STATE_STORAGE == "f32" else jnp.bfloat16
+    """Storage dtype of the cotangent statevector planes. "f16" stores
+    IEEE-half BIT PATTERNS in uint16 (Mosaic's dialect rejects the f16
+    type itself; ops/pallas/common.f32_of / store_as are the codec)."""
+    if _STATE_STORAGE == "f32":
+        return jnp.float32
+    if _STATE_STORAGE == "f16":
+        return jnp.uint16
+    return jnp.bfloat16
 
 
 # Dot mode for the COTANGENT-side contractions of the backward kernels
@@ -241,7 +258,9 @@ def set_bwd_kernel_dot_mode(mode: str) -> None:
 
 def bwd_kernel_dot_mode() -> str:
     if _BWD_KERNEL_DOT_MODE == "auto":
-        if _STATE_STORAGE in ("mixed", "bf16"):
+        if _STATE_STORAGE in ("mixed", "f16", "bf16"):
+            # reduced cotangent storage: bf16x3 dot error (~2^-17/dot) sits
+            # well under the per-store rounding (bf16 2^-9, f16 2^-11)
             return "bf16x3"
         return kernel_dot_mode()
     return _BWD_KERNEL_DOT_MODE

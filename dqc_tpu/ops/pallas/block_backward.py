@@ -42,10 +42,10 @@ def _kernel(a_blk, dot_mode, bwd_dot_mode,
 
     # plane refs may be stored reduced (config.set_state_storage): loads
     # upcast to f32, all VMEM compute is f32, stores downcast
-    fr = fr_ref[:].reshape(-1, 128).astype(F32)
-    fi = fi_ref[:].reshape(-1, 128).astype(F32)
-    br = br_ref[:].reshape(-1, 128).astype(F32)
-    bi = bi_ref[:].reshape(-1, 128).astype(F32)
+    fr = cm.f32_of(fr_ref[:].reshape(-1, 128))
+    fi = cm.f32_of(fi_ref[:].reshape(-1, 128))
+    br = cm.f32_of(br_ref[:].reshape(-1, 128))
+    bi = cm.f32_of(bi_ref[:].reshape(-1, 128))
 
     # fwd_in = fwd_out @ Einv^T   (complex Karatsuba: 3 dots)
     u1 = dot(fr + fi, inv_t1[:])
@@ -53,16 +53,16 @@ def _kernel(a_blk, dot_mode, bwd_dot_mode,
     u3 = dot(fr, inv_t3[:])
     fir = u1 - u2
     fii = u1 + u3
-    fir_ref[:] = fir.reshape(fir_ref.shape).astype(fir_ref.dtype)
-    fii_ref[:] = fii.reshape(fii_ref.shape).astype(fii_ref.dtype)
+    fir_ref[:] = cm.store_as(fir.reshape(fir_ref.shape), fir_ref.dtype)
+    fii_ref[:] = cm.store_as(fii.reshape(fii_ref.shape), fii_ref.dtype)
 
     # bwd' = bwd @ E   (transport by E^T on the lane axis)
     sb = br + bi
     v1 = bdot(sb, e_t1[:])
     v2 = bdot(bi, e_t2[:])
     v3 = bdot(br, e_t3[:])
-    bnr_ref[:] = (v1 - v2).reshape(bnr_ref.shape).astype(bnr_ref.dtype)
-    bni_ref[:] = (v1 + v3).reshape(bni_ref.shape).astype(bni_ref.dtype)
+    bnr_ref[:] = cm.store_as((v1 - v2).reshape(bnr_ref.shape), bnr_ref.dtype)
+    bni_ref[:] = cm.store_as((v1 + v3).reshape(bni_ref.shape), bni_ref.dtype)
 
     # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram)
     # Karatsuba, reusing the transport's (br+bi) operand: 3 dots, not 4
@@ -137,25 +137,25 @@ def _kernel_sub(a_blk, dot_mode, bwd_dot_mode,
     t0r_acc = jnp.zeros((128, 128), F32)
     t0i_acc = jnp.zeros((128, 128), F32)
     for a in range(a_blk):
-        fr = fr_ref[a].astype(F32)
-        fi = fi_ref[a].astype(F32)
-        br = br_ref[a].astype(F32)
-        bi = bi_ref[a].astype(F32)
+        fr = cm.f32_of(fr_ref[a])
+        fi = cm.f32_of(fi_ref[a])
+        br = cm.f32_of(br_ref[a])
+        bi = cm.f32_of(bi_ref[a])
         # fwd_in = Einv @ fwd_out (sublane axis = left matmul per slice)
         u1 = dot(inv1[:], fr + fi)
         u2 = dot(inv2[:], fi)
         u3 = dot(inv3[:], fr)
         fir = u1 - u2
         fii = u1 + u3
-        fir_ref[a, :, :] = fir.astype(fir_ref.dtype)
-        fii_ref[a, :, :] = fii.astype(fii_ref.dtype)
+        fir_ref[a, :, :] = cm.store_as(fir, fir_ref.dtype)
+        fii_ref[a, :, :] = cm.store_as(fii, fii_ref.dtype)
         # bwd' = E^T @ bwd
         sb = br + bi
         v1 = bdot(e1[:], sb)
         v2 = bdot(e2[:], bi)
         v3 = bdot(e3[:], br)
-        bnr_ref[a, :, :] = (v1 - v2).astype(bnr_ref.dtype)
-        bni_ref[a, :, :] = (v1 + v3).astype(bni_ref.dtype)
+        bnr_ref[a, :, :] = cm.store_as((v1 - v2), bnr_ref.dtype)
+        bni_ref[a, :, :] = cm.store_as((v1 + v3), bni_ref.dtype)
         # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
         # Karatsuba (3 dots), reusing the transport's (br+bi) operand
         p1 = bdot(br, fir.T)
@@ -306,10 +306,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
         # forward was [dual, run]: roll (fwd, bwd) through the run FIRST —
         # Q pair product before the updates (diag.py semantics), staged
         # through the output refs for the dense stages below
-        fr_c = fr_ref[:].astype(F32)
-        fi_c = fi_ref[:].astype(F32)
-        br_c = br_ref[:].astype(F32)
-        bi_c = bi_ref[:].astype(F32)
+        fr_c = cm.f32_of(fr_ref[:])
+        fi_c = cm.f32_of(fi_ref[:])
+        br_c = cm.f32_of(br_ref[:])
+        bi_c = cm.f32_of(bi_ref[:])
         if diag_q:
             qr, qi = _cmul(br_c, bi_c, fr_c, fi_c)
 
@@ -328,52 +328,52 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
                                     ial_r, ial_i)
         br_c, bi_c = _diag_tile_mul(br_c, bi_c, tsl_r, tsl_i, tas_r, tas_i,
                                     tal_r, tal_i)
-        fir_ref[:] = fr_c.astype(fir_ref.dtype)
-        fii_ref[:] = fi_c.astype(fii_ref.dtype)
-        bnr_ref[:] = br_c.astype(bnr_ref.dtype)
-        bni_ref[:] = bi_c.astype(bni_ref.dtype)
+        fir_ref[:] = cm.store_as(fr_c, fir_ref.dtype)
+        fii_ref[:] = cm.store_as(fi_c, fii_ref.dtype)
+        bnr_ref[:] = cm.store_as(br_c, bnr_ref.dtype)
+        bni_ref[:] = cm.store_as(bi_c, bni_ref.dtype)
         src_f, src_fi, src_b, src_bi = fir_ref, fii_ref, bnr_ref, bni_ref
     if g0_first:
         # tape order [B0(lane), B1(sublane)] -> uncompute sublane first
         # (per slice, staged through the output refs), then lane on the tile
         for a in range(a_blk):
             f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
-                src_f[a].astype(F32), src_fi[a].astype(F32),
-                src_b[a].astype(F32), src_bi[a].astype(F32), (t0s_r, t0s_i))
-            fir_ref[a, :, :] = f1r.astype(fir_ref.dtype)
-            fii_ref[a, :, :] = f1i.astype(fii_ref.dtype)
-            bnr_ref[a, :, :] = b1r.astype(bnr_ref.dtype)
-            bni_ref[a, :, :] = b1i.astype(bni_ref.dtype)
-        fr = fir_ref[:].reshape(-1, 128).astype(F32)
-        fi = fii_ref[:].reshape(-1, 128).astype(F32)
-        br = bnr_ref[:].reshape(-1, 128).astype(F32)
-        bi = bni_ref[:].reshape(-1, 128).astype(F32)
+                cm.f32_of(src_f[a]), cm.f32_of(src_fi[a]),
+                cm.f32_of(src_b[a]), cm.f32_of(src_bi[a]), (t0s_r, t0s_i))
+            fir_ref[a, :, :] = cm.store_as(f1r, fir_ref.dtype)
+            fii_ref[a, :, :] = cm.store_as(f1i, fii_ref.dtype)
+            bnr_ref[a, :, :] = cm.store_as(b1r, bnr_ref.dtype)
+            bni_ref[a, :, :] = cm.store_as(b1i, bni_ref.dtype)
+        fr = cm.f32_of(fir_ref[:].reshape(-1, 128))
+        fi = cm.f32_of(fii_ref[:].reshape(-1, 128))
+        br = cm.f32_of(bnr_ref[:].reshape(-1, 128))
+        bi = cm.f32_of(bni_ref[:].reshape(-1, 128))
         f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
                                                      (t0l_r, t0l_i))
-        fir_ref[:] = f0r.reshape(fir_ref.shape).astype(fir_ref.dtype)
-        fii_ref[:] = f0i.reshape(fii_ref.shape).astype(fii_ref.dtype)
-        bnr_ref[:] = b0r.reshape(bnr_ref.shape).astype(bnr_ref.dtype)
-        bni_ref[:] = b0i.reshape(bni_ref.shape).astype(bni_ref.dtype)
+        fir_ref[:] = cm.store_as(f0r.reshape(fir_ref.shape), fir_ref.dtype)
+        fii_ref[:] = cm.store_as(f0i.reshape(fii_ref.shape), fii_ref.dtype)
+        bnr_ref[:] = cm.store_as(b0r.reshape(bnr_ref.shape), bnr_ref.dtype)
+        bni_ref[:] = cm.store_as(b0i.reshape(bni_ref.shape), bni_ref.dtype)
     else:
         # tape order [B1(sublane), B0(lane)] -> lane first on the full tile
-        fr = src_f[:].reshape(-1, 128).astype(F32)
-        fi = src_fi[:].reshape(-1, 128).astype(F32)
-        br = src_b[:].reshape(-1, 128).astype(F32)
-        bi = src_bi[:].reshape(-1, 128).astype(F32)
+        fr = cm.f32_of(src_f[:]).reshape(-1, 128)
+        fi = cm.f32_of(src_fi[:]).reshape(-1, 128)
+        br = cm.f32_of(src_b[:]).reshape(-1, 128)
+        bi = cm.f32_of(src_bi[:]).reshape(-1, 128)
         f0r, f0i, b0r, b0i, t0l_r, t0l_i = lane_full(fr, fi, br, bi,
                                                      (t0l_r, t0l_i))
-        fir_ref[:] = f0r.reshape(fir_ref.shape).astype(fir_ref.dtype)
-        fii_ref[:] = f0i.reshape(fii_ref.shape).astype(fii_ref.dtype)
-        bnr_ref[:] = b0r.reshape(bnr_ref.shape).astype(bnr_ref.dtype)
-        bni_ref[:] = b0i.reshape(bni_ref.shape).astype(bni_ref.dtype)
+        fir_ref[:] = cm.store_as(f0r.reshape(fir_ref.shape), fir_ref.dtype)
+        fii_ref[:] = cm.store_as(f0i.reshape(fii_ref.shape), fii_ref.dtype)
+        bnr_ref[:] = cm.store_as(b0r.reshape(bnr_ref.shape), bnr_ref.dtype)
+        bni_ref[:] = cm.store_as(b0i.reshape(bni_ref.shape), bni_ref.dtype)
         for a in range(a_blk):
             f1r, f1i, b1r, b1i, t0s_r, t0s_i = sub_step(
-                fir_ref[a].astype(F32), fii_ref[a].astype(F32),
-                bnr_ref[a].astype(F32), bni_ref[a].astype(F32), (t0s_r, t0s_i))
-            fir_ref[a, :, :] = f1r.astype(fir_ref.dtype)
-            fii_ref[a, :, :] = f1i.astype(fii_ref.dtype)
-            bnr_ref[a, :, :] = b1r.astype(bnr_ref.dtype)
-            bni_ref[a, :, :] = b1i.astype(bni_ref.dtype)
+                cm.f32_of(fir_ref[a]), cm.f32_of(fii_ref[a]),
+                cm.f32_of(bnr_ref[a]), cm.f32_of(bni_ref[a]), (t0s_r, t0s_i))
+            fir_ref[a, :, :] = cm.store_as(f1r, fir_ref.dtype)
+            fii_ref[a, :, :] = cm.store_as(f1i, fii_ref.dtype)
+            bnr_ref[a, :, :] = cm.store_as(b1r, bnr_ref.dtype)
+            bni_ref[a, :, :] = cm.store_as(b1i, bni_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -391,10 +391,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
         # the diagonal run preceded the dual in the forward: roll (fwd, bwd)
         # through it here — Q pair product BEFORE the updates, then
         # fwd *= D_inv, bwd *= D (ops/pallas/diag.py semantics)
-        fr_c = fir_ref[:].astype(F32)
-        fi_c = fii_ref[:].astype(F32)
-        br_c = bnr_ref[:].astype(F32)
-        bi_c = bni_ref[:].astype(F32)
+        fr_c = cm.f32_of(fir_ref[:])
+        fi_c = cm.f32_of(fii_ref[:])
+        br_c = cm.f32_of(bnr_ref[:])
+        bi_c = cm.f32_of(bni_ref[:])
         if diag_q:
             qr, qi = _cmul(br_c, bi_c, fr_c, fi_c)
 
@@ -413,10 +413,10 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
                                     ial_r, ial_i)
         br_c, bi_c = _diag_tile_mul(br_c, bi_c, tsl_r, tsl_i, tas_r, tas_i,
                                     tal_r, tal_i)
-        fir_ref[:] = fr_c.astype(fir_ref.dtype)
-        fii_ref[:] = fi_c.astype(fii_ref.dtype)
-        bnr_ref[:] = br_c.astype(bnr_ref.dtype)
-        bni_ref[:] = bi_c.astype(bni_ref.dtype)
+        fir_ref[:] = cm.store_as(fr_c, fir_ref.dtype)
+        fii_ref[:] = cm.store_as(fi_c, fii_ref.dtype)
+        bnr_ref[:] = cm.store_as(br_c, bnr_ref.dtype)
+        bni_ref[:] = cm.store_as(bi_c, bni_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
@@ -550,10 +550,10 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
     for c in range(n_chunks):
         sl = slice(c * mc, (c + 1) * mc)
         K = mc * 128
-        f3r = fr_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
-        f3i = fi_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
-        b3r = br_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
-        b3i = bi_ref[0, :, sl, :].astype(F32).reshape(x_top, x_low, K)
+        f3r = cm.f32_of(fr_ref[0, :, sl, :]).reshape(x_top, x_low, K)
+        f3i = cm.f32_of(fi_ref[0, :, sl, :]).reshape(x_top, x_low, K)
+        b3r = cm.f32_of(br_ref[0, :, sl, :]).reshape(x_top, x_low, K)
+        b3i = cm.f32_of(bi_ref[0, :, sl, :]).reshape(x_top, x_low, K)
         fr_l = [f3r[a] for a in range(x_top)]
         fi_l = [f3i[a] for a in range(x_top)]
         br_l = [b3r[a] for a in range(x_top)]
@@ -609,8 +609,8 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
         # fwd_in = (Eti (x) I) fwdB — VPU top combos complete the uncompute
         fnr, fni = _top_combine(etir_ref, etii_ref, fBr, fBi)
         ch3 = (x_top * x_low, mc, 128)
-        fir_ref[0, :, sl, :] = jnp.stack(fnr).reshape(ch3).astype(fir_ref.dtype)
-        fii_ref[0, :, sl, :] = jnp.stack(fni).reshape(ch3).astype(fii_ref.dtype)
+        fir_ref[0, :, sl, :] = cm.store_as(jnp.stack(fnr).reshape(ch3), fir_ref.dtype)
+        fii_ref[0, :, sl, :] = cm.store_as(jnp.stack(fni).reshape(ch3), fii_ref.dtype)
 
         # transport: bwd_out = (Et^T (x) El^T) bwd
         blr, bli = [], []
@@ -622,8 +622,8 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
             blr.append(v1 - v2)
             bli.append(v1 + v3)
         bor, boi = _top_combine(etr_ref, eti_ref, blr, bli, transpose=True)
-        bnr_ref[0, :, sl, :] = jnp.stack(bor).reshape(ch3).astype(bnr_ref.dtype)
-        bni_ref[0, :, sl, :] = jnp.stack(boi).reshape(ch3).astype(bni_ref.dtype)
+        bnr_ref[0, :, sl, :] = cm.store_as(jnp.stack(bor).reshape(ch3), bnr_ref.dtype)
+        bni_ref[0, :, sl, :] = cm.store_as(jnp.stack(boi).reshape(ch3), bni_ref.dtype)
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -660,8 +660,8 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
     assert XX == x_top * Xl, (XX, x_top, Xl)
     if m_blk is None:
         m_blk = 16 if (XX >= 512 and M % 16 == 0) else 8
-    if (jnp.dtype(fr.dtype) == jnp.bfloat16
-            or jnp.dtype(br.dtype) == jnp.bfloat16):
+    if (jnp.dtype(fr.dtype).itemsize == 2
+            or jnp.dtype(br.dtype).itemsize == 2):
         m_blk = max(m_blk, 16)
     if M % m_blk:
         m_blk = M
@@ -767,10 +767,10 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
 
     for c in range(n_chunks):
         sl = slice(c * mc, (c + 1) * mc)
-        fr = fr_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
-        fi = fi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
-        br = br_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
-        bi = bi_ref[0, :, sl, :].reshape(x_dim, -1).astype(F32)
+        fr = cm.f32_of(fr_ref[0, :, sl, :].reshape(x_dim, -1))
+        fi = cm.f32_of(fi_ref[0, :, sl, :].reshape(x_dim, -1))
+        br = cm.f32_of(br_ref[0, :, sl, :].reshape(x_dim, -1))
+        bi = cm.f32_of(bi_ref[0, :, sl, :].reshape(x_dim, -1))
         ch3 = (x_dim, mc, 128)
 
         if has_diag and not diag_first_fwd:
@@ -819,10 +819,10 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
             fir, fii = fir.reshape(x_dim, -1), fii.reshape(x_dim, -1)
             bnr, bni = bnr.reshape(x_dim, -1), bni.reshape(x_dim, -1)
 
-        fir_ref[0, :, sl, :] = fir.reshape(ch3).astype(fir_ref.dtype)
-        fii_ref[0, :, sl, :] = fii.reshape(ch3).astype(fii_ref.dtype)
-        bnr_ref[0, :, sl, :] = bnr.reshape(ch3).astype(bnr_ref.dtype)
-        bni_ref[0, :, sl, :] = bni.reshape(ch3).astype(bni_ref.dtype)
+        fir_ref[0, :, sl, :] = cm.store_as(fir.reshape(ch3), fir_ref.dtype)
+        fii_ref[0, :, sl, :] = cm.store_as(fii.reshape(ch3), fii_ref.dtype)
+        bnr_ref[0, :, sl, :] = cm.store_as(bnr.reshape(ch3), bnr_ref.dtype)
+        bni_ref[0, :, sl, :] = cm.store_as(bni.reshape(ch3), bni_ref.dtype)
 
         if diag_q:
             # the run's order-invariant Q reductions on this chunk's tile
@@ -899,8 +899,8 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
         # ~5% f32 / ~6% bf16x3 on the merged-top shapes; >=32 is rejected
         # by the compiler (VMEM). Smaller X keeps the original 8 (untuned).
         m_blk = 16 if (X >= 512 and M % 16 == 0) else 8
-    if (jnp.dtype(fr.dtype) == jnp.bfloat16
-            or jnp.dtype(br.dtype) == jnp.bfloat16):
+    if (jnp.dtype(fr.dtype).itemsize == 2
+            or jnp.dtype(br.dtype).itemsize == 2):
         m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)

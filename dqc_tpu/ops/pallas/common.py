@@ -131,3 +131,50 @@ def dh_table_specs(X, M, m_blk):
 def fixed3(*_):
     """Grid-invariant rank-3 operand (stacked per-term operators)."""
     return (_Z, _Z, _Z)
+
+
+# ---------------------------------------------------------------------------
+# f16-in-u16 plane storage (config.set_state_storage("f16"))
+#
+# Mosaic's dialect rejects f16 ("Unsupported type in mosaic dialect: 'f16'"
+# on this toolchain) but supports u16 vectors and integer bit ops, so the
+# "f16" cotangent-storage mode keeps IEEE-half BIT PATTERNS in uint16
+# planes and converts at every kernel load/store with the classic
+# magic-multiply trick (exponent rebias 2^+-112 as one f32 multiply; the
+# sign bit is carried through the multiply untouched). Subnormal halves
+# decode exactly; encode clamps to +-65504 (f16 max) so overflow saturates
+# instead of wrapping into garbage bits. Cost: ~4 VPU ops per element per
+# conversion — noise next to the MXU-bound contractions.
+# ---------------------------------------------------------------------------
+
+F16_BITS = np.dtype("uint16")  # storage dtype marker for f16-encoded planes
+
+
+def f32_of(v):
+    """Kernel load: decode an f16-bit u16 tile to f32 (identity upcast for
+    every other storage dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    if v.dtype == jnp.uint16:
+        u = v.astype(jnp.uint32)
+        bits = ((u & 0x7FFF) << 13) | ((u & 0x8000) << 16)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
+            2.0 ** 112)
+    return v.astype(jnp.float32)
+
+
+def store_as(v, dtype):
+    """Kernel store: encode f32 to f16-bit u16 (round-to-nearest-even) when
+    ``dtype`` is uint16; plain downcast otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.dtype(dtype) == jnp.uint16:
+        f = jnp.clip(v, -65504.0, 65504.0) * jnp.float32(2.0 ** -112)
+        u = jax.lax.bitcast_convert_type(f, jnp.uint32)
+        sign = (u >> 16) & jnp.uint32(0x8000)
+        mag = u & jnp.uint32(0x7FFFFFFF)
+        mag = mag + 0x0FFF + ((mag >> 13) & 1)  # RTNE on the 13 dropped bits
+        return (sign | (mag >> 13)).astype(jnp.uint16)
+    return v.astype(dtype)

@@ -66,9 +66,9 @@ def _kernel_sweep(xr_ref, xi_ref,
                   tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i,
                   yr_ref, yi_ref):
     mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
-    yr, yi = _cmul(xr_ref[:].astype(F32), xi_ref[:].astype(F32), mr, mi)
-    yr_ref[:] = yr.astype(yr_ref.dtype)
-    yi_ref[:] = yi.astype(yi_ref.dtype)
+    yr, yi = _cmul(cm.f32_of(xr_ref[:]), cm.f32_of(xi_ref[:]), mr, mi)
+    yr_ref[:] = cm.store_as(yr, yr_ref.dtype)
+    yi_ref[:] = cm.store_as(yi, yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
@@ -114,8 +114,8 @@ def _kernel_bwd(with_q,
     else:
         fnr_ref, fni_ref, bnr_ref, bni_ref = out_refs
 
-    fr, fi = fr_ref[:].astype(F32), fi_ref[:].astype(F32)
-    br, bi = br_ref[:].astype(F32), bi_ref[:].astype(F32)
+    fr, fi = cm.f32_of(fr_ref[:]), cm.f32_of(fi_ref[:])
+    br, bi = cm.f32_of(br_ref[:]), cm.f32_of(bi_ref[:])
 
     if with_q:
         # order-invariant pair product BEFORE the updates (see module doc)
@@ -141,13 +141,13 @@ def _kernel_bwd(with_q,
 
     mr, mi = _total_diag(isl_r, isl_i, ias_r, ias_i, ial_r, ial_i)
     fnr, fni = _cmul(fr, fi, mr, mi)
-    fnr_ref[:] = fnr.astype(fnr_ref.dtype)
-    fni_ref[:] = fni.astype(fni_ref.dtype)
+    fnr_ref[:] = cm.store_as(fnr, fnr_ref.dtype)
+    fni_ref[:] = cm.store_as(fni, fni_ref.dtype)
 
     mr, mi = _total_diag(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
     bnr, bni = _cmul(br, bi, mr, mi)
-    bnr_ref[:] = bnr.astype(bnr_ref.dtype)
-    bni_ref[:] = bni.astype(bni_ref.dtype)
+    bnr_ref[:] = cm.store_as(bnr, bnr_ref.dtype)
+    bni_ref[:] = cm.store_as(bni, bni_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "with_q", "interpret"))

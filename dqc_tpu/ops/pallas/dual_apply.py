@@ -69,8 +69,8 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, diag_first,
 
     # plane refs may be stored in a reduced dtype (config.set_state_storage):
     # loads upcast to f32, all VMEM compute is f32, stores downcast
-    xr = xr_ref[:].astype(F32)
-    xi = xi_ref[:].astype(F32)
+    xr = cm.f32_of(xr_ref[:])
+    xi = cm.f32_of(xi_ref[:])
     dr = di = None
     if has_diag and diag_first:
         # pre-multiply by the fused diagonal run (applied BEFORE the dual
@@ -107,10 +107,10 @@ def _kernel(a_blk, dot_mode, conj, has_acc, has_diag, diag_first,
         if conj:
             vi = -vi
         if has_acc:
-            vr = accr_ref[a].astype(F32) + vr
-            vi = acci_ref[a].astype(F32) + vi
-        yr_ref[a, :, :] = vr.astype(yr_ref.dtype)
-        yi_ref[a, :, :] = vi.astype(yi_ref.dtype)
+            vr = cm.f32_of(accr_ref[a]) + vr
+            vi = cm.f32_of(acci_ref[a]) + vi
+        yr_ref[a, :, :] = cm.store_as(vr, yr_ref.dtype)
+        yi_ref[a, :, :] = cm.store_as(vi, yi_ref.dtype)
 
 
 def _kernel_multi(a_blk, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
@@ -125,8 +125,8 @@ def _kernel_multi(a_blk, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
         yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
-    xr = xr_ref[:].astype(F32)
-    xi = xi_ref[:].astype(F32)
+    xr = cm.f32_of(xr_ref[:])
+    xi = cm.f32_of(xi_ref[:])
     x2r = xr.reshape(-1, 128)
     x2i = xi.reshape(-1, 128)
 
@@ -153,10 +153,10 @@ def _kernel_multi(a_blk, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
         if conj:
             vi = -vi
         if has_acc:
-            vr = accr_ref[a].astype(F32) + vr
-            vi = acci_ref[a].astype(F32) + vi
-        yr_ref[a, :, :] = vr.astype(yr_ref.dtype)
-        yi_ref[a, :, :] = vi.astype(yi_ref.dtype)
+            vr = cm.f32_of(accr_ref[a]) + vr
+            vi = cm.f32_of(acci_ref[a]) + vi
+        yr_ref[a, :, :] = cm.store_as(vr, yr_ref.dtype)
+        yi_ref[a, :, :] = cm.store_as(vi, yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode", "alias",

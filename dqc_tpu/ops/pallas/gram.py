@@ -47,8 +47,8 @@ def _acc_out(first, s_ref, c_ref, s, c):
 
 def _kernel_lane(dot_mode, xr_ref, xi_ref, s_ref, c_ref):
     dot = make_dot(dot_mode)
-    xr = xr_ref[:].reshape(-1, 128).astype(F32)
-    xi = xi_ref[:].reshape(-1, 128).astype(F32)
+    xr = cm.f32_of(xr_ref[:].reshape(-1, 128))
+    xi = cm.f32_of(xi_ref[:].reshape(-1, 128))
     s = dot(xr.T, xr) + dot(xi.T, xi)
     c = dot(xr.T, xi)
     _acc_out(pl.program_id(0) == 0, s_ref, c_ref, s, c)
@@ -86,8 +86,8 @@ def _kernel_sub(a_blk, dot_mode, xr_ref, xi_ref, s_ref, c_ref):
     s = jnp.zeros((128, 128), F32)
     c = jnp.zeros((128, 128), F32)
     for a in range(a_blk):
-        xr = xr_ref[a].astype(F32)
-        xi = xi_ref[a].astype(F32)
+        xr = cm.f32_of(xr_ref[a])
+        xi = cm.f32_of(xi_ref[a])
         s += dot(xr, xr.T) + dot(xi, xi.T)
         c += dot(xr, xi.T)
     _acc_out(pl.program_id(0) == 0, s_ref, c_ref, s, c)
@@ -122,8 +122,8 @@ def gram_sublane(xr, xi, *, a_blk: int = 8, dot_mode: str = "f32",
 
 def _kernel_high(x_dim, dot_mode, xr_ref, xi_ref, s_ref, c_ref):
     dot = make_dot(dot_mode)
-    xr = xr_ref[0].reshape(x_dim, -1).astype(F32)
-    xi = xi_ref[0].reshape(x_dim, -1).astype(F32)
+    xr = cm.f32_of(xr_ref[0].reshape(x_dim, -1))
+    xi = cm.f32_of(xi_ref[0].reshape(x_dim, -1))
     s = dot(xr, xr.T) + dot(xi, xi.T)
     c = dot(xr, xi.T)
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -137,7 +137,7 @@ def gram_high(xr, xi, *, m_blk: int = 8, dot_mode: str = "f32",
     ``X`` the group axis (8 <= X <= 128)."""
     assert xr.ndim == 4 and xr.shape[-1] == 128
     A1, X, M, _ = xr.shape
-    if jnp.dtype(xr.dtype) == jnp.bfloat16:
+    if jnp.dtype(xr.dtype).itemsize == 2:
         m_blk = max(m_blk, 16)  # bf16 tiling: (16, 128) sublane x lane
     if M % m_blk:
         m_blk = M  # irregular M: whole axis per cell (tile-legal)

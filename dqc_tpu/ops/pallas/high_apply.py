@@ -46,8 +46,8 @@ def _kernel(x_dim, dot_mode, conj, has_acc, has_diag, diag_first,
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
     # plane refs may be stored reduced (config.set_state_storage): loads
     # upcast to f32, stores downcast
-    x3r = xr_ref[0].astype(F32)
-    x3i = xi_ref[0].astype(F32)
+    x3r = cm.f32_of(xr_ref[0])
+    x3i = cm.f32_of(xi_ref[0])
     if has_diag and diag_first:
         dr, di = _dh_tile(tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i)
         x3r, x3i = _cmul(x3r, x3i, dr, di)
@@ -64,10 +64,10 @@ def _kernel(x_dim, dot_mode, conj, has_acc, has_diag, diag_first,
     if conj:
         vi = -vi
     if has_acc:
-        vr = accr_ref[0].astype(F32) + vr
-        vi = acci_ref[0].astype(F32) + vi
-    yr_ref[0] = vr.astype(yr_ref.dtype)
-    yi_ref[0] = vi.astype(yi_ref.dtype)
+        vr = cm.f32_of(accr_ref[0]) + vr
+        vi = cm.f32_of(acci_ref[0]) + vi
+    yr_ref[0] = cm.store_as(vr, yr_ref.dtype)
+    yi_ref[0] = cm.store_as(vi, yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
@@ -97,7 +97,7 @@ def high_group_apply_planes(xr, xi, e_r, e_i, *, m_blk: int = 8,
         out_dt = jnp.dtype(out_dtype)
         if jnp.dtype(out_dt) != jnp.dtype(xr.dtype):
             alias = False  # dtype change: cannot alias the input planes
-    if jnp.dtype(xr.dtype) == jnp.bfloat16 or jnp.dtype(out_dt) == jnp.bfloat16:
+    if jnp.dtype(xr.dtype).itemsize == 2 or jnp.dtype(out_dt).itemsize == 2:
         # bf16 native tiling is (16, 128): the m-axis block (second-to-last
         # dim) must be a multiple of 16
         m_blk = max(m_blk, 16)
@@ -156,8 +156,8 @@ def _kernel_fact(x_top, x_low, dot_mode, xr_ref, xi_ref,
     motivation: the 30q merged-top X=512 sweep is deeply MXU-bound,
     BENCHMARKS.md m_blk sweep)."""
     dot = make_dot(dot_mode)
-    x3r = xr_ref[0].astype(F32)
-    x3i = xi_ref[0].astype(F32)
+    x3r = cm.f32_of(xr_ref[0])
+    x3i = cm.f32_of(xi_ref[0])
     K = x3r.shape[1] * x3r.shape[2]
     xr = x3r.reshape(x_top, x_low, K)
     xi = x3i.reshape(x_top, x_low, K)
@@ -181,8 +181,8 @@ def _kernel_fact(x_top, x_low, dot_mode, xr_ref, xi_ref,
         yr.append(accr)
         yi.append(acci)
     sh = yr_ref.shape[1:]
-    yr_ref[0] = jnp.stack(yr).reshape(sh).astype(yr_ref.dtype)
-    yi_ref[0] = jnp.stack(yi).reshape(sh).astype(yi_ref.dtype)
+    yr_ref[0] = cm.store_as(jnp.stack(yr).reshape(sh), yr_ref.dtype)
+    yi_ref[0] = cm.store_as(jnp.stack(yi).reshape(sh), yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("x_top", "m_blk", "dot_mode",
@@ -199,7 +199,7 @@ def merged_fact_apply_planes(xr, xi, el_r, el_i, et_r, et_i, *, x_top: int,
     A1, XX, M, _ = xr.shape
     Xl = el_r.shape[0]
     assert XX == x_top * Xl, (XX, x_top, Xl)
-    if jnp.dtype(xr.dtype) == jnp.bfloat16:
+    if jnp.dtype(xr.dtype).itemsize == 2:
         m_blk = max(m_blk, 16)
     if M % m_blk:
         m_blk = M
@@ -240,8 +240,8 @@ def _kernel_multi(x_dim, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
         yr_ref, yi_ref = rest
     dot = make_dot(dot_mode)
 
-    xr = xr_ref[0].reshape(x_dim, -1).astype(F32)
-    xi = xi_ref[0].reshape(x_dim, -1).astype(F32)
+    xr = cm.f32_of(xr_ref[0].reshape(x_dim, -1))
+    xi = cm.f32_of(xi_ref[0].reshape(x_dim, -1))
     vr_tot = vi_tot = None
     for t in range(n_terms):
         t1 = dot(e1[t], xr + xi)
@@ -261,10 +261,10 @@ def _kernel_multi(x_dim, n_terms, dot_mode, conj, has_acc, xr_ref, xi_ref,
     if conj:
         vi_tot = -vi_tot
     if has_acc:
-        vr_tot = accr_ref[0].reshape(vr_tot.shape).astype(F32) + vr_tot
-        vi_tot = acci_ref[0].reshape(vi_tot.shape).astype(F32) + vi_tot
-    yr_ref[0] = vr_tot.reshape(yr_ref.shape[1:]).astype(yr_ref.dtype)
-    yi_ref[0] = vi_tot.reshape(yi_ref.shape[1:]).astype(yi_ref.dtype)
+        vr_tot = cm.f32_of(accr_ref[0].reshape(vr_tot.shape)) + vr_tot
+        vi_tot = cm.f32_of(acci_ref[0].reshape(vi_tot.shape)) + vi_tot
+    yr_ref[0] = cm.store_as(vr_tot.reshape(yr_ref.shape[1:]), yr_ref.dtype)
+    yi_ref[0] = cm.store_as(vi_tot.reshape(yi_ref.shape[1:]), yi_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode", "alias",
@@ -287,7 +287,7 @@ def high_multi_apply_planes(xr, xi, e_r, e_i, el_r, el_i, *, m_blk: int = 8,
         out_dt = jnp.dtype(out_dtype)
         if jnp.dtype(out_dt) != jnp.dtype(xr.dtype):
             alias = False
-    if jnp.dtype(xr.dtype) == jnp.bfloat16 or jnp.dtype(out_dt) == jnp.bfloat16:
+    if jnp.dtype(xr.dtype).itemsize == 2 or jnp.dtype(out_dt).itemsize == 2:
         m_blk = max(m_blk, 16)
     if M % m_blk:
         m_blk = M

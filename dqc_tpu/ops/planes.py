@@ -70,17 +70,45 @@ def plane_shape(n: int) -> Tuple[int, int, int]:
     return (1 << (n - 14), 128, 128)
 
 
+def enc16(x: jax.Array) -> jax.Array:
+    """XLA-level f32 -> f16-bit u16 (the "f16" storage codec outside
+    kernels: XLA supports float16 natively, Mosaic does not — in-kernel
+    conversion is ops/pallas/common.f32_of / store_as)."""
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16)
+
+
+def dec16(x: jax.Array) -> jax.Array:
+    """XLA-level f16-bit u16 -> f32."""
+    return jax.lax.bitcast_convert_type(x, jnp.float16).astype(F32)
+
+
+def plane_f32(x: jax.Array) -> jax.Array:
+    """Plane of ANY storage dtype -> f32 values (decodes u16 f16-bits)."""
+    if x.dtype == jnp.uint16:
+        return dec16(x)
+    return x.astype(F32)
+
+
+def plane_store(x: jax.Array, dtype) -> jax.Array:
+    """f32 values -> plane of the given storage dtype."""
+    if jnp.dtype(dtype) == jnp.uint16:
+        return enc16(x)
+    return x.astype(dtype)
+
+
 def to_planes(state: jax.Array, n: int, dtype=F32) -> Tuple[jax.Array, jax.Array]:
     """Flat or grouped complex state -> (xr, xi) planes. ``dtype`` is the
-    STORAGE dtype (f32 default; bf16 under config.set_state_storage modes —
-    kernels always compute f32 in VMEM)."""
+    STORAGE dtype (f32 default; bf16 / f16-bit-u16 under
+    config.set_state_storage modes — kernels always compute f32 in VMEM)."""
     t = jnp.asarray(state).reshape(plane_shape(n))
-    return t.real.astype(dtype), t.imag.astype(dtype)
+    return (plane_store(t.real.astype(F32), dtype),
+            plane_store(t.imag.astype(F32), dtype))
 
 
 def from_planes(xr: jax.Array, xi: jax.Array, n: int, dtype=jnp.complex64) -> jax.Array:
     """(xr, xi) planes -> flat complex state (any storage dtype)."""
-    return (xr.astype(F32) + 1j * xi.astype(F32)).reshape(-1).astype(dtype)
+    return (plane_f32(xr) + 1j * plane_f32(xi)).reshape(-1).astype(dtype)
 
 
 def standard_planes(n: int, dtype=F32) -> Tuple[jax.Array, jax.Array]:
@@ -470,18 +498,18 @@ def apply_high(xr, xi, E, j: int, n: int, *, alias: bool = True,
     else:
         # small-n fallback (j == 2 tiny): elementwise, XLA fuses conj/acc
         er, ei = op_planes(E)
-        vxr = xr.reshape(pre, X, M, 128).astype(F32)
-        vxi = xi.reshape(pre, X, M, 128).astype(F32)
+        vxr = plane_f32(xr.reshape(pre, X, M, 128))
+        vxi = plane_f32(xi.reshape(pre, X, M, 128))
         yr, yi = _apply_high_smallx(vxr, vxi, er, ei, X)
         if conj:
             yi = -yi
         out_dt = (acc[0].dtype if acc is not None
                   else (out_dtype or xr.dtype))
         if acc is not None:
-            yr = acc[0].reshape(yr.shape).astype(F32) + yr
-            yi = acc[1].reshape(yi.shape).astype(F32) + yi
-        yr = yr.astype(out_dt)
-        yi = yi.astype(out_dt)
+            yr = plane_f32(acc[0].reshape(yr.shape)) + yr
+            yi = plane_f32(acc[1].reshape(yi.shape)) + yi
+        yr = plane_store(yr, out_dt)
+        yi = plane_store(yi, out_dt)
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
@@ -805,10 +833,10 @@ def apply_diag_axis(xr, xi, table, j: int, n: int):
     dims = gr.group_dims(n)
     tr, ti = _table_planes(table)
     shape = _bshape(n, j)
-    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
+    yr, yi = _cmul(plane_f32(xr.reshape(dims)), plane_f32(xi.reshape(dims)),
                    jnp.asarray(tr).reshape(shape), jnp.asarray(ti).reshape(shape))
-    return (yr.reshape(xr.shape).astype(xr.dtype),
-            yi.reshape(xi.shape).astype(xi.dtype))
+    return (plane_store(yr.reshape(xr.shape), xr.dtype),
+            plane_store(yi.reshape(xi.shape), xi.dtype))
 
 
 def _axis_indicators(positions, n: int):
@@ -853,20 +881,20 @@ def apply_multi_diag(xr, xi, d, positions, n: int):
         term_i = d[j].imag * m
         tr = term_r if tr is None else tr + term_r
         ti = term_i if ti is None else ti + term_i
-    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
+    yr, yi = _cmul(plane_f32(xr.reshape(dims)), plane_f32(xi.reshape(dims)),
                    tr, ti)
-    return (yr.reshape(xr.shape).astype(xr.dtype),
-            yi.reshape(xi.shape).astype(xi.dtype))
+    return (plane_store(yr.reshape(xr.shape), xr.dtype),
+            plane_store(yi.reshape(xi.shape), xi.dtype))
 
 
 def multi_diag_gram(fxr, fxi, bxr, bxi, positions, n: int) -> jax.Array:
     """``W[j] = sum_b bwd[j, b] fwd[j, b]`` over the gate-bit subblocks
     (the diag-gate cotangent, groups.diag_pair_grad on real planes)."""
     dims = gr.group_dims(n)
-    Fr = gr.subblocks(fxr.reshape(dims), positions, n).astype(F32)
-    Fi = gr.subblocks(fxi.reshape(dims), positions, n).astype(F32)
-    Br = gr.subblocks(bxr.reshape(dims), positions, n).astype(F32)
-    Bi = gr.subblocks(bxi.reshape(dims), positions, n).astype(F32)
+    Fr = plane_f32(gr.subblocks(fxr.reshape(dims), positions, n))
+    Fi = plane_f32(gr.subblocks(fxi.reshape(dims), positions, n))
+    Br = plane_f32(gr.subblocks(bxr.reshape(dims), positions, n))
+    Bi = plane_f32(gr.subblocks(bxi.reshape(dims), positions, n))
     wr = jnp.sum(Br * Fr - Bi * Fi, axis=1)
     wi = jnp.sum(Br * Fi + Bi * Fr, axis=1)
     return wr + 1j * wi
@@ -885,10 +913,10 @@ def apply_cross_diag(xr, xi, table2, j2: int, j1: int, n: int):
     shape = [1] * G
     shape[a2] = dims[a2]
     shape[a1] = dims[a1]
-    yr, yi = _cmul(xr.reshape(dims).astype(F32), xi.reshape(dims).astype(F32),
+    yr, yi = _cmul(plane_f32(xr.reshape(dims)), plane_f32(xi.reshape(dims)),
                    tr.reshape(shape), ti.reshape(shape))
-    return (yr.reshape(xr.shape).astype(xr.dtype),
-            yi.reshape(xi.shape).astype(xi.dtype))
+    return (plane_store(yr.reshape(xr.shape), xr.dtype),
+            plane_store(yi.reshape(xi.shape), xi.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -941,8 +969,8 @@ def _gram_axis_xla(xr, xi, j: int, n: int) -> jax.Array:
     o1 = sub[:ax] + "Z" + sub[ax + 1:]
     spec = f"{o1},{sub}->Z{sub[ax]}"
     hi = jax.lax.Precision.HIGHEST
-    vr = xr.reshape(dims).astype(F32)
-    vi = xi.reshape(dims).astype(F32)
+    vr = plane_f32(xr.reshape(dims))
+    vi = plane_f32(xi.reshape(dims))
     A = jnp.einsum(spec, vr, vr, precision=hi)
     B = jnp.einsum(spec, vi, vi, precision=hi)
     C = jnp.einsum(spec, vr, vi, precision=hi)
@@ -986,8 +1014,8 @@ def diag_gram_axis(fxr, fxi, bxr, bxi, j: int, n: int) -> jax.Array:
     (the all-diag block gradient source, groups.group_diag_gram)."""
     dims = gr.group_dims(n)
     ax = len(dims) - 1 - j
-    fr, fi = fxr.reshape(dims).astype(F32), fxi.reshape(dims).astype(F32)
-    br, bi = bxr.reshape(dims).astype(F32), bxi.reshape(dims).astype(F32)
+    fr, fi = plane_f32(fxr.reshape(dims)), plane_f32(fxi.reshape(dims))
+    br, bi = plane_f32(bxr.reshape(dims)), plane_f32(bxi.reshape(dims))
     axes = tuple(a for a in range(len(dims)) if a != ax)
     wr = jnp.sum(br * fr - bi * fi, axis=axes)
     wi = jnp.sum(br * fi + bi * fr, axis=axes)
@@ -1000,8 +1028,8 @@ def cross_diag_gram(fxr, fxi, bxr, bxi, j2: int, j1: int, n: int) -> jax.Array:
     dims = gr.group_dims(n)
     G = len(dims)
     a2, a1 = G - 1 - j2, G - 1 - j1
-    fr, fi = fxr.reshape(dims).astype(F32), fxi.reshape(dims).astype(F32)
-    br, bi = bxr.reshape(dims).astype(F32), bxi.reshape(dims).astype(F32)
+    fr, fi = plane_f32(fxr.reshape(dims)), plane_f32(fxi.reshape(dims))
+    br, bi = plane_f32(bxr.reshape(dims)), plane_f32(bxi.reshape(dims))
     axes = tuple(a for a in range(G) if a not in (a2, a1))
     wr = jnp.sum(br * fr - bi * fi, axis=axes)
     wi = jnp.sum(br * fi + bi * fr, axis=axes)
@@ -1067,10 +1095,10 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
     # tiny group just above the minors: fusable elementwise formulation
     # (see _apply_high_smallx)
     fr, fi = apply_high(fxr, fxi, Einv, j, n, interpret=interpret)
-    vfr = fr.reshape(shape4).astype(F32)
-    vfi = fi.reshape(shape4).astype(F32)
-    vbr = bxr.reshape(shape4).astype(F32)
-    vbi = bxi.reshape(shape4).astype(F32)
+    vfr = plane_f32(fr.reshape(shape4))
+    vfi = plane_f32(fi.reshape(shape4))
+    vbr = plane_f32(bxr.reshape(shape4))
+    vbi = plane_f32(bxi.reshape(shape4))
     # T0[x, y] = sum_batch bwd[x] fwd_in[y]: X^2 fused multiply-reduces
     rows = []
     for x in range(X):

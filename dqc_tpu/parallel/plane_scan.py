@@ -161,8 +161,7 @@ def _bwd(dprog, axis, residuals, ct):
         return (fxr, fxi, bxr, bxi), cts
 
     fxr, fxi = pl.to_planes(jnp.asarray(final), m, config.fwd_plane_dtype())
-    bxr, bxi = pl.to_planes(jnp.asarray(ct).astype(C64), m,
-                            config.bwd_plane_dtype())
+    bxr, bxi = ps._ct_to_planes(ct, m)
     (fxr, fxi, bxr, bxi), stacked_cts = jax.lax.scan(
         body, (fxr, fxi, bxr, bxi), stacked_var_gates, reverse=True,
     )
@@ -171,17 +170,13 @@ def _bwd(dprog, axis, residuals, ct):
         lambda x: jax.lax.psum(x, axis), stacked_cts
     )
     init_ref = jnp.asarray(local_state)
-    state_ct = pl.from_planes(bxr, bxi, m).astype(init_ref.dtype)
+    state_ct = ps._state_ct_from_planes(bxr, bxi, m, init_ref.dtype)
     const_cts = tuple(jnp.zeros_like(jnp.asarray(g)) for g in const_gates)
     return state_ct, stacked_cts, const_cts
 
 
 def _match(ct, ref):
-    ref = jnp.asarray(ref)
-    ct = ct.reshape(ref.shape)
-    if jnp.issubdtype(ref.dtype, jnp.complexfloating):
-        return ct.astype(ref.dtype)
-    return ct.real.astype(ref.dtype)
+    return ps._match_ct(ct, ref)
 
 
 dist_plane_scanned_layers.defvjp(_fwd, _bwd)
@@ -532,7 +527,7 @@ def _gp_bwd(dprog, axis, residuals, density_cts):
     if bxr is None:
         state_ct = jnp.zeros((1 << m,), state_dtype)
     else:
-        state_ct = pl.from_planes(bxr, bxi, m).astype(state_dtype)
+        state_ct = ps._state_ct_from_planes(bxr, bxi, m, state_dtype)
 
     out_var_cts = []
     for qidx, ref_gate in enumerate(var_gates):

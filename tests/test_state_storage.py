@@ -43,11 +43,15 @@ def restore_storage():
 
 def test_mode_validation():
     with pytest.raises(ValueError):
-        config.set_state_storage("f16")
+        config.set_state_storage("fp8")
     config.set_state_storage("mixed")
     assert config.state_storage() == "mixed"
     assert config.fwd_plane_dtype() == jnp.float32
     assert config.bwd_plane_dtype() == jnp.bfloat16
+    config.set_state_storage("f16")
+    assert config.fwd_plane_dtype() == jnp.float32
+    # f16 bit patterns ride in uint16 planes (Mosaic rejects the f16 type)
+    assert config.bwd_plane_dtype() == jnp.uint16
     config.set_state_storage("bf16")
     assert config.fwd_plane_dtype() == jnp.bfloat16
     config.set_state_storage("f32")
@@ -139,6 +143,22 @@ def test_mixed_value_exact_grad_bf16(n=14):
     assert v1 == v0
     rel = np.abs(g1 - g0).max() / np.abs(g0).max()
     assert rel < 2e-3, rel  # bf16 has ~8 mantissa bits: ~4e-3 ulp
+    assert rel > 0  # the mode actually took effect
+
+
+def test_f16_value_exact_grad_f16(n=14):
+    """f16 mode: value bit-identical to f32 storage (forward planes f32);
+    gradients within f16 rounding (10 mantissa bits — 4x tighter than
+    mixed/bf16's 8) of the f32-storage run. Exercises the power-of-2
+    cotangent prescale (plane_scan._ct_prescale): without it the deep
+    cotangent elements would sit in f16's subnormal band."""
+    config.set_state_storage("f32")
+    v0, g0 = _loss_grad(n, seed=3)
+    config.set_state_storage("f16")
+    v1, g1 = _loss_grad(n, seed=3)
+    assert v1 == v0
+    rel = np.abs(g1 - g0).max() / np.abs(g0).max()
+    assert rel < 5e-4, rel  # f16 ulp 2^-11 ~ 4.9e-4
     assert rel > 0  # the mode actually took effect
 
 
