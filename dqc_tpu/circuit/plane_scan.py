@@ -1508,13 +1508,20 @@ def _bwd(ftape, residuals, ct):
 
 def _ct_prescale():
     """Power-of-2 prescale carried by the COTANGENT planes under "f16"
-    storage: f16 has only 5 exponent bits (min normal 6.1e-5) while deep
-    statevector cotangent elements sit at ~2^-n/2; scaling the seed by a
-    fixed 2^12 recentres them into f16's full-precision band. Grams,
+    storage: f16 has only 5 exponent bits (min normal 6.1e-5, max 65504)
+    while deep statevector cotangent elements sit at ~2^-n/2. Grams,
     transports and Q-reductions are all LINEAR in the cotangent, so one
     division at each exit (gate cts, state ct) removes the scale exactly
-    (powers of two round nothing). None for every other storage mode."""
-    return 4096.0 if config.state_storage() == "f16" else None
+    (powers of two round nothing). None for every other storage mode.
+
+    S = 256, measured (18q x depth-100 vs c128 oracle, BENCHMARKS.md r5):
+    S in {64, 512} -> grad rms ~1e-3 (flat); S >= 4096 CLIPS — near the
+    end of the backward the cotangent concentrates toward the initial
+    state, so single elements approach the full 2-norm (~||L||_2) and
+    S * ||ct||_2 must stay under 65504. S=256 is clip-safe for cotangent
+    2-norms up to 256 (expectation-value losses are O(n)) while keeping
+    elements 2^10 below typical out of the subnormal band up to ~34q."""
+    return 256.0 if config.state_storage() == "f16" else None
 
 
 def _match_ct(ct, ref):

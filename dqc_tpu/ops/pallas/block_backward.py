@@ -426,7 +426,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
 def block_backward_dual(fr, fi, br, bi,
                         e0inv_r, e0inv_i, e0_r, e0_i,
                         e1inv_r, e1inv_i, e1_r, e1_i,
-                        *, g0_first: bool = True, a_blk: int = 4,
+                        *, g0_first: bool = True, a_blk: int = 8,
                         dot_mode: str = "f32", bwd_dot_mode: str = None,
                         diag_inv_tables=None,
                         diag_tables=None, diag_first_fwd: bool = True,
@@ -445,6 +445,10 @@ def block_backward_dual(fr, fi, br, bi,
     A = fr.shape[0]
     if A % a_blk:
         a_blk = 1
+    # a_blk sweep on v5e (tools/dual_ablk_sweep.py, A=8192 slice, r5):
+    # 2: 22.64 ms, 4: 21.74, 8: 21.49, 16: 21.46 — default 8 takes the
+    # ~1% over 4; the kernel's remaining 14%-of-roofline gap is the
+    # per-a-slice 128^3 sublane dot pipeline, not grid overhead.
     if diag_tables is not None and a_blk % 8 and a_blk != A:
         # Mosaic: the (a_blk, 128) table blocks need a sublane dim divisible
         # by 8 (or the whole array)

@@ -69,7 +69,7 @@ def main():
     print("|---|---|---|---|---|")
     from dqc_tpu.circuit import segmented
 
-    for storage in ("f32", "mixed"):
+    for storage in ("f32", "mixed", "f16"):
         for seg in (False, True):
             config.set_plane_engine(True)
             config.set_state_storage(storage)
