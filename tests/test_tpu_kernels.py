@@ -742,7 +742,7 @@ def test_block_operator_composition_precision_on_hardware():
 
 
 @skip_no_tpu
-@pytest.mark.parametrize("storage", ["f32", "mixed"])
+@pytest.mark.parametrize("storage", ["f32", "mixed", "f16"])
 def test_segmented_step_on_hardware(storage):
     """Segmented fwd+grad end-to-end ON THE REAL BACKEND (both storages).
 
@@ -769,8 +769,9 @@ def test_segmented_step_on_hardware(storage):
         v_one, g_one = jax.jit(jax.value_and_grad(model.magnetization))(params)
         assert np.isfinite(float(v_seg))
         np.testing.assert_allclose(float(v_seg), float(v_one), rtol=1e-6)
-        tol = dict(rtol=2e-5, atol=1e-6) if storage == "f32" else \
-            dict(rtol=3e-2, atol=3e-3)  # bf16 cotangent rounding
+        tol = {"f32": dict(rtol=2e-5, atol=1e-6),
+               "mixed": dict(rtol=3e-2, atol=3e-3),   # bf16 ct rounding
+               "f16": dict(rtol=4e-3, atol=4e-4)}[storage]  # f16 ct rounding
         np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_one), **tol)
     finally:
         config.set_state_storage("f32")
