@@ -1264,6 +1264,7 @@ def _backward_ddual(fxr, fxi, bxr, bxi, item, ftape, var_gates,
     out = block_backward_dual(
         fxr, fxi, bxr, bxi, e0ir, e0ii, e0r, e0i, e1ir, e1ii, e1r, e1i,
         g0_first=g0_first, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
         diag_inv_tables=pl._diag_table_planes(Tinv),
         diag_tables=pl._diag_table_planes(T),
         diag_first_fwd=_ddual_order(item), diag_q=with_q,
@@ -1339,6 +1340,7 @@ def _backward_dual_step(fxr, fxi, bxr, bxi, fi_first, fi_second, ftape,
     fxr, fxi, bxr, bxi, t0l_r, t0l_i, t0s_r, t0s_i = block_backward_dual(
         fxr, fxi, bxr, bxi, e0ir, e0ii, e0r, e0i, e1ir, e1ii, e1r, e1i,
         g0_first=g0_first, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
         interpret=_interpret())
     if lane_fi.has_var:
         ops = _block_ops(lane_fi, var_gates, const_gates, sizes[0], C64)

@@ -264,3 +264,27 @@ def bwd_kernel_dot_mode() -> str:
             return "bf16x3"
         return kernel_dot_mode()
     return _BWD_KERNEL_DOT_MODE
+
+
+# Dot mode for the PAIR-GRAM contractions alone (T0 = bwd^T fwd_in inside
+# the backward kernels). Unlike the uncompute (compounds into every earlier
+# layer's recomputed state) and the transport (compounds into every earlier
+# layer's cotangent), each gram is a per-gate LEAF output — a 3-pass
+# bf16x3 gram adds ~2^-17-level noise to that one gate's gradient with no
+# compounding, while removing 3 of the backward's 9 six-pass dot sites.
+# "auto" follows bwd_kernel_dot_mode; override with DQC_GRAM_KERNEL_DOT.
+_GRAM_KERNEL_DOT_MODE = _os.environ.get("DQC_GRAM_KERNEL_DOT", "auto")
+
+
+def set_gram_kernel_dot_mode(mode: str) -> None:
+    if mode not in ("auto", "f32", "bf16x3"):
+        raise ValueError("gram kernel dot mode must be 'auto', 'f32' or "
+                         "'bf16x3'")
+    global _GRAM_KERNEL_DOT_MODE
+    _GRAM_KERNEL_DOT_MODE = mode
+
+
+def gram_kernel_dot_mode() -> str:
+    if _GRAM_KERNEL_DOT_MODE == "auto":
+        return bwd_kernel_dot_mode()
+    return _GRAM_KERNEL_DOT_MODE

@@ -32,13 +32,15 @@ F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(a_blk, dot_mode, bwd_dot_mode,
+def _kernel(a_blk, dot_mode, bwd_dot_mode, gram_dot_mode,
             fr_ref, fi_ref, br_ref, bi_ref,
             inv_t1, inv_t2, inv_t3,      # Karatsuba operands of E^-1 (transposed)
             e_t1, e_t2, e_t3,            # Karatsuba operands of E (right-multiply)
             fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
-    bdot = make_dot(bwd_dot_mode)  # cotangent transport + pair-gram dots
+    bdot = make_dot(bwd_dot_mode)
+    gdot = make_dot(gram_dot_mode)   # cotangent transport dots
+    gdot = make_dot(gram_dot_mode)  # pair-gram dots (leaf outputs)
 
     # plane refs may be stored reduced (config.set_state_storage): loads
     # upcast to f32, all VMEM compute is f32, stores downcast
@@ -66,9 +68,9 @@ def _kernel(a_blk, dot_mode, bwd_dot_mode,
 
     # T0 += bwd^T @ fwd_in (complex, NO conjugation — holomorphic pair gram)
     # Karatsuba, reusing the transport's (br+bi) operand: 3 dots, not 4
-    p1 = bdot(br.T, fir)
-    p2 = bdot(bi.T, fii)
-    p3 = bdot(sb.T, fir + fii)
+    p1 = gdot(br.T, fir)
+    p2 = gdot(bi.T, fii)
+    p3 = gdot(sb.T, fir + fii)
     t0r = p1 - p2
     t0i = p3 - p1 - p2
 
@@ -82,10 +84,12 @@ def _kernel(a_blk, dot_mode, bwd_dot_mode,
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode",
-                                             "bwd_dot_mode", "interpret"))
+                                             "bwd_dot_mode", "gram_dot_mode",
+                                             "interpret"))
 def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                         *, a_blk: int = 4, dot_mode: str = "f32",
                         bwd_dot_mode: str = None,
+                        gram_dot_mode: str = None,
                         interpret: bool = False):
     """One-pass adjoint step for a lane-group block.
 
@@ -104,7 +108,8 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     bs = cm.blk3
     es = cm.fixed2
     kern = functools.partial(_kernel, a_blk, dot_mode,
-                             bwd_dot_mode or dot_mode)
+                             bwd_dot_mode or dot_mode,
+                             gram_dot_mode or bwd_dot_mode or dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)  # fwd pair keeps its storage
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)  # bwd pair keeps its storage
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -126,13 +131,14 @@ def block_backward_lane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     )(fr, fi, br, bi, *inv_t, *e_t)
 
 
-def _kernel_sub(a_blk, dot_mode, bwd_dot_mode,
+def _kernel_sub(a_blk, dot_mode, bwd_dot_mode, gram_dot_mode,
                 fr_ref, fi_ref, br_ref, bi_ref,
                 inv1, inv2, inv3,        # Karatsuba operands of E^-1 (left-mult)
                 e1, e2, e3,              # Karatsuba operands of E^T (left-mult)
                 fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
+    gdot = make_dot(gram_dot_mode)
 
     t0r_acc = jnp.zeros((128, 128), F32)
     t0i_acc = jnp.zeros((128, 128), F32)
@@ -158,9 +164,9 @@ def _kernel_sub(a_blk, dot_mode, bwd_dot_mode,
         bni_ref[a, :, :] = cm.store_as((v1 + v3), bni_ref.dtype)
         # T0[x, y] += sum_c bwd[x, c] fwd_in[y, c]  (contract the lane axis)
         # Karatsuba (3 dots), reusing the transport's (br+bi) operand
-        p1 = bdot(br, fir.T)
-        p2 = bdot(bi, fii.T)
-        p3 = bdot(sb, (fir + fii).T)
+        p1 = gdot(br, fir.T)
+        p2 = gdot(bi, fii.T)
+        p3 = gdot(sb, (fir + fii).T)
         t0r_acc += p1 - p2
         t0i_acc += p3 - p1 - p2
 
@@ -174,10 +180,12 @@ def _kernel_sub(a_blk, dot_mode, bwd_dot_mode,
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "dot_mode",
-                                             "bwd_dot_mode", "interpret"))
+                                             "bwd_dot_mode", "gram_dot_mode",
+                                             "interpret"))
 def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                            *, a_blk: int = 4, dot_mode: str = "f32",
                            bwd_dot_mode: str = None,
+                           gram_dot_mode: str = None,
                            interpret: bool = False):
     """One-pass adjoint step for a sublane-group (qubits 7..13) block.
 
@@ -194,7 +202,8 @@ def block_backward_sublane(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     bs = cm.blk3
     es = cm.fixed2
     kern = functools.partial(_kernel_sub, a_blk, dot_mode,
-                             bwd_dot_mode or dot_mode)
+                             bwd_dot_mode or dot_mode,
+                             gram_dot_mode or bwd_dot_mode or dot_mode)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((128, 128), F32)
@@ -229,7 +238,8 @@ def _diag_tile_mul(xr, xi, tsl_r, tsl_i, tas_r, tas_i, tal_r, tal_i):
     return _cmul(xr, xi, mr, mi)
 
 
-def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
+def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, gram_dot_mode,
+                 has_diag,
                  diag_first_fwd, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  l_inv1, l_inv2, l_inv3,   # lane E0^-1 (right-mult, transposed)
@@ -256,6 +266,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
          t0l_r_ref, t0l_i_ref, t0s_r_ref, t0s_i_ref) = rest
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
+    gdot = make_dot(gram_dot_mode)
 
     t0l_r = jnp.zeros((128, 128), F32)
     t0l_i = jnp.zeros((128, 128), F32)
@@ -270,9 +281,9 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
         u3 = dot(fr, l_inv3[:])
         f0r, f0i = u1 - u2, u1 + u3
         sb = br + bi
-        p1 = bdot(br.T, f0r)
-        p2 = bdot(bi.T, f0i)
-        p3 = bdot(sb.T, f0r + f0i)
+        p1 = gdot(br.T, f0r)
+        p2 = gdot(bi.T, f0i)
+        p3 = gdot(sb.T, f0r + f0i)
         tr = p1 - p2
         ti = p3 - p1 - p2
         v1 = bdot(sb, l_e1[:])
@@ -288,9 +299,9 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
         u3 = dot(s_inv3[:], fr)
         f1r, f1i = u1 - u2, u1 + u3
         sb = br + bi
-        p1 = bdot(br, f1r.T)
-        p2 = bdot(bi, f1i.T)
-        p3 = bdot(sb, (f1r + f1i).T)
+        p1 = gdot(br, f1r.T)
+        p2 = gdot(bi, f1i.T)
+        p3 = gdot(sb, (f1r + f1i).T)
         tr = p1 - p2
         ti = p3 - p1 - p2
         v1 = bdot(s_e1[:], sb)
@@ -421,6 +432,7 @@ def _kernel_dual(a_blk, g0_first, dot_mode, bwd_dot_mode, has_diag,
 
 @functools.partial(jax.jit, static_argnames=("g0_first", "a_blk",
                                              "dot_mode", "bwd_dot_mode",
+                                             "gram_dot_mode",
                                              "diag_first_fwd",
                                              "diag_q", "interpret"))
 def block_backward_dual(fr, fi, br, bi,
@@ -428,6 +440,7 @@ def block_backward_dual(fr, fi, br, bi,
                         e1inv_r, e1inv_i, e1_r, e1_i,
                         *, g0_first: bool = True, a_blk: int = 8,
                         dot_mode: str = "f32", bwd_dot_mode: str = None,
+                        gram_dot_mode: str = None,
                         diag_inv_tables=None,
                         diag_tables=None, diag_first_fwd: bool = True,
                         diag_q: bool = False,
@@ -462,6 +475,7 @@ def block_backward_dual(fr, fi, br, bi,
     has_diag = diag_tables is not None
     kern = functools.partial(_kernel_dual, a_blk, g0_first, dot_mode,
                              bwd_dot_mode or dot_mode,
+                             gram_dot_mode or bwd_dot_mode or dot_mode,
                              has_diag, diag_first_fwd, diag_q and has_diag)
     A_ = fr.shape[0]
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
@@ -519,6 +533,7 @@ def _top_combine(er_ref, ei_ref, vr, vi, *, transpose=False):
 
 
 def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
+                      gram_dot_mode,
                       top_vpu,
                       fr_ref, fi_ref, br_ref, bi_ref,
                       li1, li2, li3, lt1, lt2, lt3,
@@ -544,6 +559,7 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
     slowest kernel of the flagship step (BENCHMARKS.md m_blk sweep)."""
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
+    gdot = make_dot(gram_dot_mode)
     m_blk = fr_ref.shape[2]
     mc = m_blk // n_chunks
     tt_r = jnp.zeros(ttr_ref.shape, F32)
@@ -589,9 +605,9 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
             b2i = b3i.reshape(x_top, x_low * K)
             a2r = jnp.stack(fAr).reshape(x_top, x_low * K)
             a2i = jnp.stack(fAi).reshape(x_top, x_low * K)
-            p1 = bdot(b2r, a2r.T)
-            p2 = bdot(b2i, a2i.T)
-            p3 = bdot(b2r + b2i, (a2r + a2i).T)
+            p1 = gdot(b2r, a2r.T)
+            p2 = gdot(b2i, a2i.T)
+            p3 = gdot(b2r + b2i, (a2r + a2i).T)
             tt_r += p1 - p2
             tt_i += p3 - p1 - p2
 
@@ -604,9 +620,9 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
             fBr.append(t1 - t2)
             fBi.append(t1 + t3)
             # T0_low partial: per-slice (Xl, K) gram of bwd against fwdB
-            q1 = bdot(br_l[a], fBr[a].T)
-            q2 = bdot(bi_l[a], fBi[a].T)
-            q3 = bdot(br_l[a] + bi_l[a], (fBr[a] + fBi[a]).T)
+            q1 = gdot(br_l[a], fBr[a].T)
+            q2 = gdot(bi_l[a], fBi[a].T)
+            q3 = gdot(br_l[a] + bi_l[a], (fBr[a] + fBi[a]).T)
             tl_r += q1 - q2
             tl_i += q3 - q1 - q2
 
@@ -645,12 +661,13 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
 
 
 @functools.partial(jax.jit, static_argnames=("x_top", "m_blk", "dot_mode",
-                                             "bwd_dot_mode", "top_vpu",
-                                             "interpret"))
+                                             "bwd_dot_mode", "gram_dot_mode",
+                                             "top_vpu", "interpret"))
 def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
                                etinv_r, etinv_i, et_r, et_i, *, x_top: int,
                                m_blk: int = None, dot_mode: str = "f32",
                                bwd_dot_mode: str = None,
+                               gram_dot_mode: str = None,
                                top_vpu: bool = None,
                                interpret: bool = False):
     """One-pass adjoint on the merged (top, low) view ``(A1, Xt*Xl, M, 128)``
@@ -680,7 +697,7 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
     # demand by ~1.1 MiB at XX=512/m_blk=16 (82.07M vs an 81M limit -> OOM)
     est = (2 * io_bytes + 16 * (slab // n_chunks) + 16 * Xl * Xl * 4
            + 8 * 1024 * 1024)
-    if "bf16x3" in (dot_mode, bwd_dot_mode):
+    if "bf16x3" in (dot_mode, bwd_dot_mode, gram_dot_mode):
         # hi/lo bf16 operand splits add slab-scale intermediates Mosaic
         # cannot always fold into the f32 stack slots: measured scoped
         # demand 106.7e6 at XX=512/m_blk=16 all-f32 planes vs 85e6
@@ -701,7 +718,9 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
     li = elinv_r, elinv_r + elinv_i, elinv_i - elinv_r
     lt = el_r.T, (el_r + el_i).T, (el_i - el_r).T
     kern = functools.partial(_kernel_mtop_fact, x_top, Xl, n_chunks,
-                             dot_mode, bwd_dot_mode or dot_mode, top_vpu)
+                             dot_mode, bwd_dot_mode or dot_mode,
+                             gram_dot_mode or bwd_dot_mode or dot_mode,
+                             top_vpu)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     t_top = jax.ShapeDtypeStruct((x_top, x_top), F32)
@@ -730,6 +749,7 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
 
 
 def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
+                 gram_dot_mode,
                  has_diag, diag_first_fwd, diag_q,
                  fr_ref, fi_ref, br_ref, bi_ref,
                  inv1, inv2, inv3, e1, e2, e3, *rest):
@@ -744,6 +764,7 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
         fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref = rest
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
+    gdot = make_dot(gram_dot_mode)
 
     # block shape: (1, X, m_blk, 128) — axis 1 is the full contracted group;
     # reduced-storage refs upcast on load, downcast on store. For large X
@@ -804,9 +825,9 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
         bni = v1 + v3
 
         # T0 Karatsuba (3 dots), reusing the transport's (br+bi) operand
-        p1 = bdot(br, fir.T)
-        p2 = bdot(bi, fii.T)
-        p3 = bdot(sb, (fir + fii).T)
+        p1 = gdot(br, fir.T)
+        p2 = gdot(bi, fii.T)
+        p3 = gdot(sb, (fir + fii).T)
         t0r_acc += p1 - p2
         t0i_acc += p3 - p1 - p2
 
@@ -874,11 +895,13 @@ def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,
 
 
 @functools.partial(jax.jit, static_argnames=("m_blk", "dot_mode",
-                                             "bwd_dot_mode", "diag_first_fwd",
+                                             "bwd_dot_mode", "gram_dot_mode",
+                                             "diag_first_fwd",
                                              "diag_q", "interpret"))
 def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
                         *, m_blk: int = None, dot_mode: str = "f32",
                         bwd_dot_mode: str = None,
+                        gram_dot_mode: str = None,
                         diag_inv_tables=None, diag_tables=None,
                         diag_first_fwd: bool = True, diag_q: bool = False,
                         interpret: bool = False):
@@ -935,8 +958,9 @@ def block_backward_high(fr, fi, br, bi, einv_r, einv_i, e_r, e_i,
     es = cm.fixed2
     k_sub = (128 // m_blk) if has_diag else 1
     kern = functools.partial(_kernel_high, X, n_chunks, k_sub, dot_mode,
-                             bwd_dot_mode or dot_mode, has_diag,
-                             diag_first_fwd, diag_q)
+                             bwd_dot_mode or dot_mode,
+                             gram_dot_mode or bwd_dot_mode or dot_mode,
+                             has_diag, diag_first_fwd, diag_q)
     fbig = jax.ShapeDtypeStruct(fr.shape, fr.dtype)
     bbig = jax.ShapeDtypeStruct(br.shape, br.dtype)
     small = jax.ShapeDtypeStruct((X, X), F32)

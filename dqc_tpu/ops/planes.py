@@ -283,7 +283,8 @@ def backward_merged_top_fact(fxr, fxi, bxr, bxi, Et, El, Eti, Eli, n: int,
         bxr.reshape(shape4), bxi.reshape(shape4),
         eli_r, eli_i, el_r, el_i, eti_r, eti_i, et_r, et_i, x_top=X,
         dot_mode=config.kernel_dot_mode(),
-        bwd_dot_mode=bwd_mode, interpret=interpret)
+        bwd_dot_mode=bwd_mode,
+        gram_dot_mode=config.gram_kernel_dot_mode(), interpret=interpret)
     return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
             br.reshape(fxr.shape), bi.reshape(fxr.shape),
             ttr + 1j * tti, tlr + 1j * tli)
@@ -318,6 +319,7 @@ def backward_merged_top(fxr, fxi, bxr, bxi, Einv_m, E_m, n: int,
         fxr.reshape(shape4), fxi.reshape(shape4),
         bxr.reshape(shape4), bxi.reshape(shape4),
         einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
         interpret=interpret)
     return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
             br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
@@ -450,6 +452,7 @@ def backward_dhigh(fxr, fxi, bxr, bxi, Einv, E, tables_inv, tables, j: int,
         jnp.asarray(e_r), jnp.asarray(e_i),
         dot_mode=config.kernel_dot_mode(),
         bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
         diag_inv_tables=dhigh_view_tables(tables_inv, j, n),
         diag_tables=dhigh_view_tables(tables, j, n),
         diag_first_fwd=diag_first, diag_q=with_q, interpret=interpret)
@@ -801,7 +804,8 @@ def backward_cross_span(fxr, fxi, bxr, bxi, gate_m, gate_inv, positions,
         bxr.reshape(vshape), bxi.reshape(vshape),
         jnp.asarray(einv_r), jnp.asarray(einv_i),
         jnp.asarray(e_r), jnp.asarray(e_i),
-        dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(), interpret=interpret)
+        dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(), interpret=interpret)
     W = _span_cotangent(t0r, t0i, rels, span)
     k = len(pos)
     order = sorted(range(k), key=lambda i: -pos[i])
@@ -1057,15 +1061,16 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
     e_r, e_i = op_planes(E)
     mode = config.kernel_dot_mode()
     bmode = config.bwd_kernel_dot_mode()
+    gmode = config.gram_kernel_dot_mode()
     if j == 0:
         fr, fi, br, bi, t0r, t0i = block_backward_lane(
             fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
-            bwd_dot_mode=bmode, interpret=interpret)
+            bwd_dot_mode=bmode, gram_dot_mode=gmode, interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     if j == 1:
         fr, fi, br, bi, t0r, t0i = block_backward_sublane(
             fxr, fxi, bxr, bxi, einv_r, einv_i, e_r, e_i, dot_mode=mode,
-            bwd_dot_mode=bmode, interpret=interpret)
+            bwd_dot_mode=bmode, gram_dot_mode=gmode, interpret=interpret)
         return fr, fi, br, bi, t0r + 1j * t0i
     pre, X, M = _high_view(n, j)
     shape4 = (pre, X, M, 128)
@@ -1074,6 +1079,7 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
             fxr.reshape(shape4), fxi.reshape(shape4),
             bxr.reshape(shape4), bxi.reshape(shape4),
             einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
             interpret=interpret)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
                 br.reshape(fxr.shape), bi.reshape(fxr.shape), t0r + 1j * t0i)
@@ -1088,6 +1094,7 @@ def backward_block(fxr, fxi, bxr, bxi, Einv, E, j: int, n: int,
             fxr.reshape(shape4), fxi.reshape(shape4),
             bxr.reshape(shape4), bxi.reshape(shape4),
             einv_r, einv_i, e_r, e_i, dot_mode=config.kernel_dot_mode(), bwd_dot_mode=config.bwd_kernel_dot_mode(),
+        gram_dot_mode=config.gram_kernel_dot_mode(),
             interpret=interpret)
         T0 = _trace_id(t0r + 1j * t0i, X, Xl)
         return (fr.reshape(fxr.shape), fi.reshape(fxr.shape),
