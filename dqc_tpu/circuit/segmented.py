@@ -110,7 +110,8 @@ def _cfg_key():
     the cache — without this a storage-mode switch silently reused the
     previous mode's compiled programs (caught by tools/mixed_seg_accuracy)."""
     return (config.state_storage(), config.kernel_dot_mode(),
-            config.bwd_kernel_dot_mode(), config.hpair_factorized(),
+            config.bwd_kernel_dot_mode(), config.gram_kernel_dot_mode(),
+            config.hpair_factorized(),
             str(config.matmul_precision()), config.plane_engine())
 
 

@@ -270,9 +270,14 @@ def bwd_kernel_dot_mode() -> str:
 # the backward kernels). Unlike the uncompute (compounds into every earlier
 # layer's recomputed state) and the transport (compounds into every earlier
 # layer's cotangent), each gram is a per-gate LEAF output — a 3-pass
-# bf16x3 gram adds ~2^-17-level noise to that one gate's gradient with no
-# compounding, while removing 3 of the backward's 9 six-pass dot sites.
-# "auto" follows bwd_kernel_dot_mode; override with DQC_GRAM_KERNEL_DOT.
+# bf16x3 gram adds non-compounding ~2x-f32-dot noise to that one gate's
+# gradient while removing 3 of the backward's 9 (dual: 6 of 18) six-pass
+# dot sites. Measured (round 5): every backward kernel ~10% faster
+# (tools/gram_ab.py) at depth-100 grad error rms 2.5e-6 -> 4.1e-6 vs a
+# complex128 oracle (tools/gram_accuracy.py) — still at the f32 engine's
+# roundoff grade, so "auto" resolves to bf16x3 ALWAYS (exact-f32 uncompute
+# and transport are untouched). DQC_GRAM_KERNEL_DOT=f32 restores 6-pass
+# grams.
 _GRAM_KERNEL_DOT_MODE = _os.environ.get("DQC_GRAM_KERNEL_DOT", "auto")
 
 
@@ -286,5 +291,5 @@ def set_gram_kernel_dot_mode(mode: str) -> None:
 
 def gram_kernel_dot_mode() -> str:
     if _GRAM_KERNEL_DOT_MODE == "auto":
-        return bwd_kernel_dot_mode()
+        return "bf16x3"
     return _GRAM_KERNEL_DOT_MODE

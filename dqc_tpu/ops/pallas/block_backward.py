@@ -39,7 +39,6 @@ def _kernel(a_blk, dot_mode, bwd_dot_mode, gram_dot_mode,
             fir_ref, fii_ref, bnr_ref, bni_ref, t0r_ref, t0i_ref):
     dot = make_dot(dot_mode)
     bdot = make_dot(bwd_dot_mode)
-    gdot = make_dot(gram_dot_mode)   # cotangent transport dots
     gdot = make_dot(gram_dot_mode)  # pair-gram dots (leaf outputs)
 
     # plane refs may be stored reduced (config.set_state_storage): loads

@@ -136,19 +136,34 @@ def test_gradient_parity(n, nonu):
 
 def test_model_dispatch_parity(plane_mode):
     """The public model path routes through the plane engine when forced on
-    and produces the same loss/grads as the XLA path."""
+    and produces the same loss/grads as the XLA path.
+
+    Two bars: with exact-f32 grams the engines must agree to f32 roundoff
+    (rtol 2e-5 — guards the uncompute/transport exactness); under the
+    DEFAULT config the pair-grams run bf16x3 (config.gram_kernel_dot_mode,
+    measured ~2x-f32-dot leaf noise, tools/gram_accuracy.py), so the grad
+    bar there is the bf16x3-gram grade."""
     from dqc_tpu.models.hardware_efficient import HardwareEfficientAnsatz
 
     m = HardwareEfficientAnsatz(14, 2, entangler="cz", dtype=C64, scan=True)
     params = m.init_params(jax.random.PRNGKey(3))
 
-    v_pl, g_pl = jax.value_and_grad(lambda p: m.magnetization(p))(params)
+    config.set_gram_kernel_dot_mode("f32")
+    try:
+        v_pl, g_pl = jax.value_and_grad(lambda p: m.magnetization(p))(params)
+    finally:
+        config.set_gram_kernel_dot_mode("auto")
+    v_def, g_def = jax.value_and_grad(lambda p: m.magnetization(p))(params)
     config.set_plane_engine(False)
     v_ref, g_ref = jax.value_and_grad(lambda p: m.magnetization(p))(params)
 
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(v_def), float(v_ref), rtol=2e-5)
+    scale = np.abs(np.asarray(g_ref)).max()
+    np.testing.assert_allclose(np.asarray(g_def), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4 * scale)
 
 
 def test_vqe_ising_layer_parity():
