@@ -353,7 +353,7 @@ def main():
             # tools/mixed_seg_accuracy.py, table in BENCHMARKS.md round 5.
             # The VALUE stays exact-f32 in these modes by construction.
             err = {"mixed": {"grad_rms_rel": 7.0e-3, "grad_max_rel": 6.9e-2},
-                   "f16": {"grad_rms_rel": None, "grad_max_rel": None}}
+                   "f16": {"grad_rms_rel": 9.1e-4, "grad_max_rel": 6.7e-3}}
             headline["q30"]["measured_grad_err_vs_f64_oracle"] = dict(
                 err[detail30["state_storage"]],
                 source="tools/mixed_seg_accuracy.py 18q x depth-100 x "

@@ -1991,7 +1991,12 @@ def std_scan_with_epilogue(pro_ftape: Optional[FusedTape], ftape: FusedTape,
         return plane_std_scan_densities(pro_ftape, ftape, epi_ftape,
                                         pro_const_gates, stacked_var_gates,
                                         const_gates)
-    state = standard_state(ftape.n, dtype)
+    # optimization_barrier: without it XLA constant-folds the prologue's
+    # HIGHEST-precision c64 dots against the embedded |0..0> literal at
+    # COMPILE time (measured 2-6.4 s slow_operation_alarm stalls per dot in
+    # the 20q dryrun; grows with state size). The barrier makes the state a
+    # runtime value at zero runtime cost — the prologue is one sweep.
+    state = jax.lax.optimization_barrier(standard_state(ftape.n, dtype))
     if pro_ftape is not None:
         _, state = fused_run(pro_ftape, state, (), tuple(pro_const_gates))
     return scan_with_epilogue(ftape, epi_ftape, state, stacked_var_gates,

@@ -107,6 +107,12 @@ def main():
         ("plane-bf16", dict(plane=True, storage="bf16", dot="f32")),
         ("plane-bf16x3", dict(plane=True, storage="f32", dot="bf16x3")),
     ]
+    # big-n runs on one CPU core: bound the cost by selecting modes, e.g.
+    # DQC_ACC_MODES=xla-c64,plane-f32 (the floor and the shipping engine)
+    sel = os.environ.get("DQC_ACC_MODES")
+    if sel:
+        want = set(sel.split(","))
+        modes = [m for m in modes if m[0] in want]
 
     print(f"| depth | mode | value rel err | grad max rel err | grad rms rel |")
     print(f"|---|---|---|---|---|")

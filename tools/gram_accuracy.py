@@ -59,14 +59,20 @@ def main():
                                   dtype=jnp.complex64, scan=True)
     p32 = jnp.asarray(params, dtype=jnp.float32)
 
-    print("| gram dot | execution | value rel err | grad max rel | grad rms rel |")
+    print("| dot modes | execution | value rel err | grad max rel | grad rms rel |")
     print("|---|---|---|---|---|")
     from dqc_tpu.circuit import segmented
 
-    for gram in ("f32", "bf16x3"):
+    # rows: exact 6-pass grams; the DEFAULT (bf16x3 grams only); the next
+    # speed tier (cotangent transport AND grams bf16x3, uncompute exact)
+    rows = (("gram=f32", "f32", "auto"),
+            ("gram=bf16x3 (default)", "bf16x3", "auto"),
+            ("transport+gram=bf16x3", "auto", "bf16x3"))
+    for label0, gram, bwd in rows:
         for seg in (False, True):
             config.set_plane_engine(True)
             config.set_gram_kernel_dot_mode(gram)
+            config.set_bwd_kernel_dot_mode(bwd)
             segmented.segmented_cache_clear()
             try:
                 t0 = time.time()
@@ -80,11 +86,12 @@ def main():
                 gmax = np.abs(f - f0).max() / scale
                 grms = np.sqrt(np.mean(np.abs(f - f0) ** 2)) / scale
                 label = f"segmented({chunk})" if seg else "single-call"
-                print(f"| {gram} | {label} | {verr:.2e} | {gmax:.2e} "
+                print(f"| {label0} | {label} | {verr:.2e} | {gmax:.2e} "
                       f"| {grms:.2e} |  # {time.time() - t0:.0f}s", flush=True)
             finally:
                 config.set_plane_engine("auto")
                 config.set_gram_kernel_dot_mode("auto")
+                config.set_bwd_kernel_dot_mode("auto")
 
 
 if __name__ == "__main__":
