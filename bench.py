@@ -7,10 +7,12 @@ Workload (BASELINE.md targets: "depth-100", "measured at 30 qubits"):
 value_and_grad of a DEPTH-100 hardware-efficient ansatz at the largest
 qubit count that fits HBM in exact-f32 state storage (tries 29, backs off
 on OOM) — layer-scan mode makes depth free to compile. A second,
-non-headline run measures 30 qubits under the opt-in "mixed" state-storage
-mode (forward planes f32 → value exact; cotangent planes bf16 → the
-adjoint's second statevector halves, 8+4 GB fits a 16 GB chip; gradient
-error = bf16 rounding, pinned by tests/test_state_storage.py). The
+non-headline run measures 30 qubits under the opt-in "f16" state-storage
+mode (forward planes f32 → value exact; cotangent planes IEEE-half bits →
+the adjoint's second statevector halves, 8+4 GB fits a 16 GB chip;
+gradient error = f16 rounding under a power-of-2 prescale, rms ~9e-4 vs
+a c128 oracle — "mixed" bf16 storage is the same memory at rms 7e-3,
+~5% faster, DQC_BENCH_30Q_STORAGE=mixed). The
 reference has the same two-f32-statevector floor (circuit.rs:266-429,
 README.md:17) and therefore cannot reach 30q on a 16 GB part at all.
 
@@ -288,8 +290,13 @@ def _run_30q() -> dict:
     headline JSON, never only in a stderr comment."""
     import subprocess
 
+    # f16 cotangent storage is the default 30q mode: identical memory to
+    # "mixed", grad rms 9.1e-4 vs 7.0e-3 (7.7x) for ~5% speed (measured
+    # r5: f16 123.3 gates/s vs mixed 129.7 at chunk 25; BENCHMARKS.md)
     env = dict(os.environ,
-               DQC_BENCH_QUBITS="30", DQC_BENCH_STORAGE="mixed",
+               DQC_BENCH_QUBITS="30",
+               DQC_BENCH_STORAGE=os.environ.get("DQC_BENCH_30Q_STORAGE",
+                                                "f16"),
                DQC_BENCH_LAYERS=os.environ.get("DQC_BENCH_30Q_LAYERS", "100"),
                DQC_BENCH_SEG_CHUNK=os.environ.get(
                    "DQC_BENCH_30Q_SEG_CHUNK", "25"),
