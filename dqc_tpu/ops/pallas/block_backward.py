@@ -587,15 +587,20 @@ def _kernel_mtop_fact(x_top, x_low, n_chunks, dot_mode, bwd_dot_mode,
             # three such dots cost as much as a full 128-wide contraction
             # (the round-4 "fact loses at Xt=2" measurement). Xt^2 x 3
             # mul-reduce sweeps over the VMEM-resident slabs instead.
-            ii = jax.lax.broadcasted_iota(jnp.int32, (x_top, x_top), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (x_top, x_top), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, tt_r.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, tt_r.shape, 1)
             for x in range(x_top):
                 sbx = br_l[x] + bi_l[x]
                 for y in range(x_top):
                     p1 = jnp.sum(br_l[x] * fAr[y])
                     p2 = jnp.sum(bi_l[x] * fAi[y])
                     p3 = jnp.sum(sbx * (fAr[y] + fAi[y]))
-                    m = jnp.where((ii == x) & (jj == y), 1.0, 0.0).astype(F32)
+                    # bool -> f32 cast, NOT where(c, 1.0, 0.0): two weak
+                    # python-float branches resolve to f64 under x64 and a
+                    # 64-bit tile in a Mosaic kernel SIGABRTs the axon AOT
+                    # compiler's layout assignment (layout.h:205 bitwidth
+                    # CHECK — the round-5 on-hardware test failure)
+                    m = ((ii == x) & (jj == y)).astype(F32)
                     tt_r += (p1 - p2) * m
                     tt_i += (p3 - p1 - p2) * m
         else:
@@ -732,7 +737,7 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
     # Mosaic fails to legalize)
     ssp = pl.BlockSpec((x_top, x_top), cm.fixed2, memory_space=pltpu.SMEM)
     tts = pl.BlockSpec((x_top, x_top), cm.fixed2, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         out_shape=(fbig, fbig, bbig, bbig, t_top, t_top, t_low, t_low),
         grid=(A1, M // m_blk),
@@ -745,6 +750,7 @@ def block_backward_merged_fact(fr, fi, br, bi, elinv_r, elinv_i, el_r, el_i,
         ),
         interpret=interpret,
     )(fr, fi, br, bi, *li, *lt, etinv_r, etinv_i, et_r, et_i)
+    return out
 
 
 def _kernel_high(x_dim, n_chunks, k_sub, dot_mode, bwd_dot_mode,

@@ -658,20 +658,26 @@ def test_merged_fact_kernels_on_hardware(x_top):
         f2 = block_backward_high(yr2, yi2, br, bi, *emi_p, *em_p)
         e_pl = jnp.max(jnp.stack([jnp.max(jnp.abs(a - c))
                                   for a, c in zip(f1[:4], f2[:4])]))
-        T0m = (f2[4] + 1j * f2[5]).reshape(x_top, Xl, x_top, Xl)
-        want_top = jnp.einsum("ab,xayb->xy", jnp.asarray(El), T0m,
-                              precision=hi)
-        want_low = jnp.einsum("ed,exdy->xy", jnp.asarray(Et), T0m,
-                              precision=hi)
-        got_top = f1[4] + 1j * f1[5]
-        got_low = f1[6] + 1j * f1[7]
-        e_top = (jnp.max(jnp.abs(got_top - want_top))
-                 / jnp.max(jnp.abs(want_top)))
-        e_low = (jnp.max(jnp.abs(got_low - want_low))
-                 / jnp.max(jnp.abs(want_low)))
-        return e_fwd, e_pl, e_top, e_low
+        # The T0 restriction oracle runs on HOST numpy at complex128 (a
+        # strictly stronger oracle than the previous in-jit c64 einsums).
+        # Historical note: this test caught a real kernel bug round 5 — a
+        # `jnp.where(cond, 1.0, 0.0)` in the VPU pair-gram resolved its
+        # weak-float branches to f64 under the suite's x64 mode, and a
+        # 64-bit tile inside a Mosaic kernel SIGABRTs the axon AOT
+        # compiler's layout assignment (layout.h:205 bitwidth CHECK).
+        return e_fwd, e_pl, f1[4], f1[5], f1[6], f1[7], f2[4], f2[5]
 
-    e_fwd, e_pl, e_top, e_low = (float(e) for e in check())
+    e_fwd, e_pl, gt_r, gt_i, gl_r, gl_i, t0m_r, t0m_i = check()
+    e_fwd, e_pl = float(e_fwd), float(e_pl)
+    T0m = (np.asarray(t0m_r, np.float64)
+           + 1j * np.asarray(t0m_i, np.float64)).reshape(x_top, Xl,
+                                                         x_top, Xl)
+    want_top = np.einsum("ab,xayb->xy", El.astype(np.complex128), T0m)
+    want_low = np.einsum("ed,exdy->xy", Et.astype(np.complex128), T0m)
+    got_top = np.asarray(gt_r, np.float64) + 1j * np.asarray(gt_i, np.float64)
+    got_low = np.asarray(gl_r, np.float64) + 1j * np.asarray(gl_i, np.float64)
+    e_top = (np.abs(got_top - want_top).max() / np.abs(want_top).max())
+    e_low = (np.abs(got_low - want_low).max() / np.abs(want_low).max())
     assert e_fwd < 3e-5, e_fwd
     assert e_pl < 1e-4, e_pl
     assert e_top < 3e-5, e_top
